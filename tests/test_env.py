@@ -1,0 +1,247 @@
+"""Environment-layer tests: world pipeline, both agent types, vmap rollouts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_marl_tpu.config import (
+    ExecutionConfig,
+    MarketMakingConfig,
+    MultiAgentConfig,
+    WorldConfig,
+)
+from vit_marl_tpu.env import make_world_env
+
+KEY = jax.random.PRNGKey(0)
+
+
+def small_world(**kw):
+    defaults = dict(n_data_msg_per_step=20, ep_type="fixed_steps",
+                    episode_time=10, start_resolution=5,
+                    n_messages_per_synthetic_day=3_000)
+    defaults.update(kw)
+    return WorldConfig(**defaults)
+
+
+def make_env(world=None, agents=None, n=None, **world_kw):
+    ma = MultiAgentConfig(
+        world=world or small_world(**world_kw),
+        agents=agents or (MarketMakingConfig(), ExecutionConfig()),
+        n_agents_per_type=n or (1, 1))
+    return make_world_env(ma)
+
+
+@pytest.fixture(scope="module")
+def env2p():
+    return make_env()
+
+
+@pytest.fixture(scope="module")
+def env2p_params(env2p):
+    return env2p.default_params
+
+
+class TestReset:
+    def test_reset_shapes(self, env2p, env2p_params):
+        obs, state = env2p.reset(KEY, env2p_params)
+        assert obs[0].shape == (1, 10)   # MM engineered, fixed_steps
+        assert obs[1].shape == (1, 12)   # Exec engineered, fixed_steps
+        assert state.world.best_bids.shape == (env2p.num_msgs_per_step, 2)
+        assert int(state.world.order_id_counter) == -200
+        assert float(state.world.mid_price) > 0
+
+    def test_reset_window_selection_random(self, env2p, env2p_params):
+        idxs = set()
+        for s in range(8):
+            _, st = env2p.reset(jax.random.PRNGKey(s), env2p_params)
+            idxs.add(int(st.world.window_index))
+        assert len(idxs) > 1
+
+    def test_reset_fixed_window(self):
+        env = make_env(world=small_world(window_selector=3))
+        params = env.default_params
+        _, st = env.reset(KEY, params)
+        assert int(st.world.window_index) == 3
+
+
+class TestStep:
+    def test_step_advances_and_autoresets(self, env2p, env2p_params):
+        obs, state = env2p.reset(KEY, env2p_params)
+        actions = [jnp.asarray(0), jnp.asarray(0)]
+        key = KEY
+        saw_done = False
+        for _ in range(12):
+            key, sk = jax.random.split(key)
+            obs, state, rewards, dones, info = env2p.step(
+                sk, state, actions, env2p_params)
+            saw_done |= bool(dones["__all__"])
+        assert saw_done  # 10-step episodes must have terminated once
+        assert int(state.world.step_counter) < 12
+
+    def test_trader_ids_distinct(self, env2p, env2p_params):
+        tids = [int(x) for p in env2p_params.agents for x in np.asarray(p.trader_id)]
+        assert len(set(tids)) == len(tids)
+        assert all(t <= -100 for t in tids)
+
+    def test_order_id_counter_decreases(self, env2p, env2p_params):
+        _, state = env2p.reset(KEY, env2p_params)
+        actions = [jnp.asarray(1), jnp.asarray(1)]
+        _, state2, _, _, _ = env2p.step_env(KEY, state, actions, env2p_params)
+        assert int(state2.world.order_id_counter) == \
+            -200 - env2p.num_action_msgs_per_step
+
+    def test_exec_task_progress(self, env2p, env2p_params):
+        _, state = env2p.reset(KEY, env2p_params)
+        actions = [jnp.asarray(0), jnp.asarray(1)]  # exec: FT aggressive
+        key = KEY
+        _, state2, _, dones, info = env2p.step_env(key, state, actions,
+                                                   env2p_params)
+        executed = int(state2.agents[1].quant_executed[0])
+        assert executed > 0  # aggressive order must fill against the book
+
+    def test_mm_inventory_moves(self):
+        # directional_trading action 1 buys at the best ask -> crossing fill
+        env = make_env(agents=(
+            MarketMakingConfig(action_space="directional_trading"),
+            ExecutionConfig()))
+        params = env.default_params
+        _, state = env.reset(KEY, params)
+        actions = [jnp.asarray(1), jnp.asarray(0)]
+        _, state, _, _, info = env.step_env(KEY, state, actions, params)
+        assert int(np.asarray(info["agents"][0]["inventory"])[0]) > 0
+
+    def test_rewards_finite(self, env2p, env2p_params):
+        _, state = env2p.reset(KEY, env2p_params)
+        key = KEY
+        actions = [jnp.asarray(2), jnp.asarray(3)]
+        for _ in range(5):
+            key, sk = jax.random.split(key)
+            _, state, rewards, _, _ = env2p.step(sk, state, actions,
+                                                 env2p_params)
+            for r in rewards:
+                assert np.isfinite(np.asarray(r)).all()
+
+
+class TestVmap:
+    def test_vmapped_rollout(self, env2p, env2p_params):
+        n_env = 8
+        keys = jax.random.split(KEY, n_env)
+        obs, states = jax.vmap(env2p.reset, in_axes=(0, None))(keys, env2p_params)
+        assert obs[0].shape == (n_env, 1, 10)
+
+        actions = [jnp.zeros((n_env,), jnp.int32),
+                   jnp.ones((n_env,), jnp.int32)]
+        step = jax.vmap(env2p.step, in_axes=(0, 0, [0, 0], None))
+        for i in range(3):
+            keys = jax.random.split(keys[0], n_env)
+            obs, states, rewards, dones, infos = step(keys, states, actions,
+                                                      env2p_params)
+        assert rewards[0].shape == (n_env, 1)
+        assert np.isfinite(np.asarray(rewards[1])).all()
+
+
+class TestActionSpaces:
+    @pytest.mark.parametrize("mm_space,n_act", [
+        ("fixed_quants", 8), ("simple", 4), ("AvSt", 8),
+        ("spread_skew", 6), ("directional_trading", 3)])
+    def test_mm_action_spaces_step(self, mm_space, n_act):
+        env = make_env(agents=(MarketMakingConfig(action_space=mm_space),
+                               ExecutionConfig(action_space="simplest_case")))
+        params = env.default_params
+        _, state = env.reset(KEY, params)
+        assert env.action_spaces[0].n == n_act
+        for a in range(n_act):
+            actions = [jnp.asarray(a), jnp.asarray(1)]
+            _, s2, r, d, i = env.step_env(KEY, state, actions, params)
+            assert np.isfinite(np.asarray(r[0])).all()
+
+    @pytest.mark.parametrize("ex_space", [
+        "fixed_quants", "fixed_quants_complex", "fixed_quants_1msg",
+        "simplest_case", "twap"])
+    def test_exec_action_spaces_step(self, ex_space):
+        env = make_env(agents=(MarketMakingConfig(),
+                               ExecutionConfig(action_space=ex_space)))
+        params = env.default_params
+        _, state = env.reset(KEY, params)
+        actions = [jnp.asarray(0), jnp.asarray(1 % env.action_spaces[1].n)]
+        _, s2, r, d, i = env.step_env(KEY, state, actions, params)
+        assert np.isfinite(np.asarray(r[1])).all()
+
+    def test_exec_policy_blending_continuous(self):
+        env = make_env(agents=(
+            MarketMakingConfig(),
+            ExecutionConfig(action_space="policy_blending",
+                            observation_space="execution_policy",
+                            reward_space="dual_ppo")))
+        params = env.default_params
+        obs, state = env.reset(KEY, params)
+        assert obs[1].shape == (1, 28)
+        actions = [jnp.asarray(0), jnp.array([1.0, 0.5, 0.2], jnp.float32)]
+        _, s2, r, d, i = env.step_env(KEY, state, actions, params)
+        assert np.isfinite(np.asarray(r[1])).all()
+        # quantity placed in the book or executed
+        assert int(s2.agents[1].quant_executed[0]) >= 0
+
+
+class TestVisionObs:
+    def test_vision_obs_dict(self):
+        env = make_env(agents=(
+            MarketMakingConfig(),
+            ExecutionConfig(use_vision_obs=True, vision_levels=10)))
+        params = env.default_params
+        obs, state = env.reset(KEY, params)
+        assert set(obs[1].keys()) == {"obs", "vision_obs"}
+        assert obs[1]["vision_obs"].shape == (1, 10, 3, 2)
+        actions = [jnp.asarray(0), jnp.asarray(1)]
+        obs2, *_ = env.step_env(KEY, state, actions, params)
+        v = np.asarray(obs2[1]["vision_obs"])[0]
+        # gap channel: nonnegative tick distances; volume channels log1p >= 0
+        assert (v[:, 1, :] >= 0).all() and (v[:, 2, :] >= 0).all()
+        assert np.isfinite(v).all()
+
+    def test_vision_obs_normalization_semantics(self):
+        env = make_env(agents=(
+            MarketMakingConfig(),
+            ExecutionConfig(use_vision_obs=True, vision_levels=5)))
+        params = env.default_params
+        obs, state = env.reset(KEY, params)
+        agent = env.agent_types[1]
+        raw = np.asarray(agent.get_vision_obs(state.world, normalize=False))
+        norm = np.asarray(agent.get_vision_obs(state.world, normalize=True))
+        mid = float(state.world.mid_price)
+        tick = env.wcfg.tick_size
+        # check the ask-gap and log-vol features on the first level
+        assert norm[0, 0, 0] == pytest.approx((raw[0, 0, 0] - mid) / tick)
+        assert norm[0, 1, 0] == pytest.approx(np.log1p(raw[0, 1, 0]), rel=1e-5)
+        assert norm[0, 0, 1] == pytest.approx((mid - raw[0, 0, 1]) / tick)
+
+
+class TestEpisodeSemantics:
+    def test_fixed_time_episode(self):
+        env = make_env(world=small_world(ep_type="fixed_time",
+                                         episode_time=600,
+                                         start_resolution=300))
+        params = env.default_params
+        _, state = env.reset(KEY, params)
+        actions = [jnp.asarray(0), jnp.asarray(0)]
+        _, s2, _, dones, _ = env.step_env(KEY, state, actions, params)
+        assert int(s2.world.time[0]) >= int(state.world.time[0])
+
+    def test_exec_done_when_task_complete(self):
+        env = make_env(agents=(
+            MarketMakingConfig(),
+            ExecutionConfig(action_space="fixed_quants_complex",
+                            task_size=20, task="buy")))
+        params = env.default_params
+        _, state = env.reset(KEY, params)
+        key = KEY
+        done_exec = False
+        for _ in range(10):
+            key, sk = jax.random.split(key)
+            actions = [jnp.asarray(0), jnp.asarray(9)]
+            _, state, _, dones, info = env.step_env(sk, state, actions, params)
+            if bool(np.asarray(dones["agents"][1][0])):
+                done_exec = True
+                break
+        assert done_exec

@@ -170,6 +170,7 @@ class MarketMakingConfig:
     n_ticks_in_book: int = 1
     fixed_quant_value: int = 10
     n_actions: int = 8               # only free for fixed_prices
+    time_delay_obs_act: int = 0
     normalize: bool = True
     seconds_before_episode_end: int = 5
     fixed_action_setting: bool = False
@@ -236,6 +237,7 @@ class ExecutionConfig:
     fixed_quant_value: int = 10
     n_ticks_in_book: int = 1
     reward_lambda: float = 0.5
+    time_delay_obs_act: int = 0
     normalize: bool = True
     seconds_before_episode_end: int = 5
     doom_price_penalty: float = 0.1
@@ -247,6 +249,8 @@ class ExecutionConfig:
 
     @property
     def num_action_messages(self) -> int:
+        # policy_blending keeps the reference's default of 4 slots
+        # (3 level orders + 1 zero row, ref: vision_env.py:1521-1524)
         return {
             "fixed_quants": 4,
             "fixed_quants_complex": 4,
@@ -254,7 +258,7 @@ class ExecutionConfig:
             "simplest_case": 2,
             "fixed_quants_1msg": 1,
             "twap": 2,
-            "policy_blending": 2,
+            "policy_blending": 4,
         }[self.action_space]
 
     @property

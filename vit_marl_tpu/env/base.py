@@ -1,0 +1,111 @@
+"""Data-replay core: window reset table + per-step data-message slicing.
+
+Rebuild of ``BaseLOBEnv`` (ref: gymnax_exchange/jaxen/base_env.py:77-371),
+functional style.  The per-window initial book states are precomputed as ONE
+batched on-device ``vmap`` over windows (the reference loops in Python and
+pickles the result, ref: base_env.py:295-335); at reset the state is a pure
+``index_tree`` gather, which is what makes in-graph auto-reset cheap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_marl_tpu.config import WorldConfig, MsgCol
+from vit_marl_tpu.data.lobster import LoadedData, load_data
+from vit_marl_tpu.env.structs import LoadedState, WorldParams
+from vit_marl_tpu.lob import book as bk
+from vit_marl_tpu.lob import engine
+from vit_marl_tpu.utils import index_tree
+
+Array = jax.Array
+
+
+def state_from_data(cfg: WorldConfig, key: Array, first_msg_time: Array,
+                    book_row: Array, max_steps: Array, window_index: Array,
+                    start_index: Array) -> LoadedState:
+    """Replay an L2 snapshot into a fresh book
+    (ref: base_env.py:242-293 ``_get_state_from_data``)."""
+    init_msgs = bk.init_msgs_from_l2(cfg, book_row.astype(jnp.int32),
+                                     time=first_msg_time)
+    book = engine.process_messages(cfg, key, init_msgs, bk.init_book(cfg))
+    if cfg.ep_type == "fixed_time":
+        # Window start times follow the resolution grid (ref: base_env.py:281-284)
+        init_time = jnp.stack([
+            (window_index * cfg.start_resolution)
+            % (cfg.day_end - cfg.day_start - cfg.episode_time + cfg.start_resolution)
+            + cfg.day_start,
+            jnp.zeros_like(window_index)]).astype(jnp.int32)
+    else:
+        init_time = first_msg_time.astype(jnp.int32)
+    return LoadedState(
+        asks=book.asks, bids=book.bids, trades=book.trades,
+        init_time=init_time,
+        window_index=jnp.asarray(window_index, jnp.int32),
+        max_steps_in_episode=jnp.asarray(max_steps, jnp.int32),
+        start_index=jnp.asarray(start_index, jnp.int32),
+        step_counter=jnp.zeros_like(jnp.asarray(start_index, jnp.int32)),
+    )
+
+
+def build_init_states(cfg: WorldConfig, key: Array, data: LoadedData
+                      ) -> LoadedState:
+    """All windows' reset states in one batched on-device computation."""
+    n = data.n_windows
+    first_times = jnp.asarray(
+        data.messages[data.starts][:, [MsgCol.TIME_S, MsgCol.TIME_NS]],
+        jnp.int32)
+    max_steps = jnp.asarray(
+        data.max_msgs_per_window // cfg.n_data_msg_per_step + 1, jnp.int32)
+    fn = partial(state_from_data, cfg)
+    keys = jax.random.split(key, n)
+    return jax.vmap(fn)(keys, first_times,
+                        jnp.asarray(data.init_books, jnp.int32), max_steps,
+                        jnp.arange(n, dtype=jnp.int32),
+                        jnp.asarray(data.starts, jnp.int32))
+
+
+def make_world_params(cfg: WorldConfig, key: Array,
+                      data: Optional[LoadedData] = None) -> WorldParams:
+    """Load data + precompute the reset table; returns the params pytree."""
+    if data is None:
+        data = load_data(cfg)
+    init_states = build_init_states(cfg, key, data)
+    return WorldParams(message_data=jnp.asarray(data.messages, jnp.int32),
+                       init_states=init_states)
+
+
+def pick_window(cfg: WorldConfig, key: Array, n_windows: int) -> Array:
+    """Random or fixed window index at reset (ref: base_env.py:219-222)."""
+    return jnp.where(
+        cfg.window_selector == -1,
+        jax.random.randint(key, (), 0, n_windows),
+        jnp.asarray(cfg.window_selector, jnp.int32))
+
+
+def gather_reset_state(params: WorldParams, idx: Array) -> LoadedState:
+    """Pure gather from the precomputed window table (ref: base_env.py:226)."""
+    return index_tree(params.init_states, idx)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def get_data_messages(cfg: WorldConfig, message_data: Array, start_index: Array,
+                      step_counter: Array, end_time_s: Array) -> Array:
+    """Slice this step's data messages (ref: base_env.py:341-371).
+
+    In ``fixed_time`` mode, messages at/after the episode end time are
+    zeroed (all but the two time fields), exactly like the reference.
+    """
+    offset = start_index + cfg.n_data_msg_per_step * step_counter
+    msgs = jax.lax.dynamic_slice_in_dim(message_data, offset,
+                                        cfg.n_data_msg_per_step, axis=0)
+    if cfg.ep_type == "fixed_time":
+        past_end = msgs[:, MsgCol.TIME_S] >= end_time_s
+        head = jnp.where(past_end[:, None], 0, msgs[:, :6])
+        msgs = jnp.concatenate([head, msgs[:, 6:]], axis=1).astype(jnp.int32)
+    return msgs

@@ -1,0 +1,158 @@
+"""Shared agent machinery: message netting, price ffill, trade statistics.
+
+These helpers are identical across agent types in the reference (duplicated
+in mm_env.py and vision_env.py); here they live once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from vit_marl_tpu.config import WorldConfig, TradeCol
+from vit_marl_tpu.utils.ints import rank_rev
+
+Array = jax.Array
+
+
+def filter_messages(action_msgs: Array, cnl_msgs: Array
+                    ) -> Tuple[Array, Array]:
+    """Net new orders against same-price cancels
+    (ref: mm_env.py:509-571 / vision_env.py:622-684).
+
+    When a fresh action re-places an order at a price that is about to be
+    cancelled and the standing quantity covers the new one, both the cancel
+    and the action are reduced so the standing order simply stays (keeping
+    queue priority).  Zero-quantity actions become all-zero dummy messages.
+    """
+
+    def p_in_cnl(p, prices_cnl):
+        return (prices_cnl == p) & (p != 0)
+
+    res = jax.vmap(p_in_cnl, in_axes=(0, None))(action_msgs[:, 3], cnl_msgs[:, 3])
+    a_mask = jnp.any(res, axis=1)
+    c_mask = jnp.any(res, axis=0)
+
+    a_i = jnp.where(a_mask, size=a_mask.shape[0], fill_value=-1)[0]
+    a = jnp.where(a_i == -1, 0, action_msgs[a_i][:, 2])
+    c_i = jnp.where(c_mask, size=c_mask.shape[0], fill_value=-1)[0]
+    c = jnp.where(c_i == -1, 0, cnl_msgs[c_i][:, 2])
+
+    rel_cnl_quants = (c >= a) * a
+    action_msgs = action_msgs.at[:, 2].set(
+        action_msgs[:, 2] - rel_cnl_quants[rank_rev(a_mask)])
+    action_msgs = jnp.where((action_msgs[:, 2] == 0).T, 0, action_msgs.T).T
+    cnl_msgs = cnl_msgs.at[:, 2].set(
+        cnl_msgs[:, 2] - rel_cnl_quants[rank_rev(c_mask)])
+    return action_msgs, cnl_msgs
+
+
+def ffill_best_prices(prices_quants: Array, last_valid_price: Array) -> Array:
+    """Forward-fill invalid (-1) best prices over a step's message sequence
+    (ref: marl_env.py:685-711)."""
+
+    def ffill(arr, inval=-1):
+        def f(prev, x):
+            new = jnp.where(x != inval, x, prev)
+            return new, new
+        _, out = jax.lax.scan(f, inval, arr)
+        return out
+
+    prices_quants = prices_quants.at[0, 0:2].set(
+        jnp.where(prices_quants[0, 0] == -1,
+                  jnp.stack([last_valid_price, jnp.zeros_like(last_valid_price)]),
+                  prices_quants[0, 0:2]))
+    prices_quants = prices_quants.at[:, 1].set(
+        jnp.where(prices_quants[:, 0] == -1, 0, prices_quants[:, 1]))
+    prices_quants = prices_quants.at[:, 0].set(ffill(prices_quants[:, 0]))
+    return prices_quants
+
+
+class TradeStats(NamedTuple):
+    """Per-step agent trade statistics (ref: mm_env.py:1906-1937)."""
+
+    agent_trades: Array
+    other_trades: Array
+    agent_buys: Array
+    agent_sells: Array
+    buy_quant: Array
+    sell_quant: Array
+    traded_volume: Array
+    inventory_delta: Array
+
+
+def extract_trade_stats(trades: Array, trader_id: Array) -> TradeStats:
+    """Split the step's trade log into this agent's buys/sells vs others."""
+    executed = jnp.where((trades[:, TradeCol.PRICE] >= 0)[:, None], trades, 0)
+    mine = ((trader_id == executed[:, TradeCol.PASS_TID])
+            | (trader_id == executed[:, TradeCol.AGR_TID]))
+    agent_trades = jnp.where(mine[:, None], executed, 0)
+    other_trades = jnp.where(mine[:, None], 0, executed)
+    q = agent_trades[:, TradeCol.QUANT]
+    # q>0: passive buy filled / aggressive sell; sign plus role gives direction
+    mask_buy = (((q >= 0) & (trader_id == agent_trades[:, TradeCol.PASS_TID]))
+                | ((q < 0) & (trader_id == agent_trades[:, TradeCol.AGR_TID])))
+    mask_sell = (((q < 0) & (trader_id == agent_trades[:, TradeCol.PASS_TID]))
+                 | ((q >= 0) & (trader_id == agent_trades[:, TradeCol.AGR_TID])))
+    agent_buys = jnp.where(mask_buy[:, None], agent_trades, 0)
+    agent_sells = jnp.where(mask_sell[:, None], agent_trades, 0)
+    buy_quant = jnp.abs(agent_buys[:, 1]).sum()
+    sell_quant = jnp.abs(agent_sells[:, 1]).sum()
+    return TradeStats(agent_trades, other_trades, agent_buys, agent_sells,
+                      buy_quant, sell_quant, buy_quant + sell_quant,
+                      buy_quant - sell_quant)
+
+
+def floor_tick(x: Array, tick: int) -> Array:
+    """Floor a price to the tick grid (the reference's ubiquitous
+    ``// tick * tick``)."""
+    return x // tick * tick
+
+
+def add_artificial_trade(wcfg: WorldConfig, trades: Array, price: Array,
+                         quant: Array, time: Array, trader_id: Array) -> Array:
+    """Insert the episode-end unwind/doom trade row used only for reward
+    computation (ref: mm_env.py:1988-2013, vision_env.py:2120-2146)."""
+    row = jnp.concatenate([
+        jnp.stack([price, quant,
+                   jnp.asarray(wcfg.artificial_id_end_episode),
+                   jnp.asarray(wcfg.placeholder_order_id)]),
+        time,
+        jnp.stack([jnp.asarray(wcfg.artificial_id_end_episode), trader_id]),
+    ]).astype(jnp.int32)
+    empty = trades == -1
+    first_empty = jnp.where(jnp.any(empty),
+                            jnp.argmax(jnp.all(empty, axis=1)),
+                            trades.shape[0] - 1)
+    return trades.at[first_empty].set(row)
+
+
+def rolling_mean(avg: Array, new: Array, step_counter: Array) -> Array:
+    """(avg * n + new) / (n + 1) (ref: vision_env.py rollingMeanValueFunc)."""
+    return (avg * step_counter + new) / (step_counter + 1)
+
+
+def build_action_msgs(types: Array, sides: Array, quants: Array, prices: Array,
+                      order_ids: Array, trader_ids: Array, time: Array,
+                      time_delay: Array) -> Array:
+    """Stack the per-message columns into (n, 8) int32 messages with the
+    agent's (possibly delayed) timestamps."""
+    n = types.shape[0]
+    times = jnp.resize(time + time_delay, (n, 2))
+    msgs = jnp.stack([types, sides, quants, prices, order_ids, trader_ids],
+                     axis=1)
+    return jnp.concatenate([msgs, times], axis=1).astype(jnp.int32)
+
+
+def normalize_obs_dict(obs: dict, means: dict, stds: dict) -> dict:
+    return jax.tree.map(lambda x, m, s: (x - m) / s, obs, means, stds)
+
+
+def flatten_obs_dict(obs: dict) -> Array:
+    """Dict -> flat vector.  NOTE: ``ravel_pytree`` orders dict keys
+    alphabetically; the reference relies on this (mm_env.py:2704-2706)."""
+    flat, _ = ravel_pytree(obs)
+    return flat

@@ -1,0 +1,286 @@
+"""The multi-agent world environment.
+
+Rebuild of ``MARLEnv`` (ref: gymnax_exchange/jaxen/marl_env.py:84) on the
+vectorized engine.  One ``WorldEnv`` composes the data-replay core with N
+agent types x M instances; the step pipeline follows the reference's stages
+(labels A-K, ref: marl_env.py:241-662):
+
+  data msgs -> per-type vmap(get_messages) -> central order-id assignment
+  (+ optional shuffle) -> concat [cancels, actions, data] -> fused engine
+  scan saving best bid/ask -> ffill best prices -> per-type vmap(get_reward)
+  -> world-state update -> per-type vmap(update_state) -> dones
+  ("__all__" = all agents done) -> infos -> per-type vmap(get_observation)
+  with obs of done agents zero-masked.
+
+Auto-reset on "__all__" via tree-select (ref: marl_env.py:737-766).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vit_marl_tpu.config import MultiAgentConfig, MsgCol
+from vit_marl_tpu.data.lobster import LoadedData
+from vit_marl_tpu.env import base as env_base
+from vit_marl_tpu.env.common import ffill_best_prices
+from vit_marl_tpu.env.execution import ExecutionAgent
+from vit_marl_tpu.env.mm import MarketMakingAgent
+from vit_marl_tpu.env.structs import (
+    MultiAgentParams,
+    MultiAgentState,
+    WorldState,
+)
+from vit_marl_tpu.lob import book as bk
+from vit_marl_tpu.lob import engine
+
+Array = jax.Array
+
+AGENT_REGISTRY = {
+    "market_making": MarketMakingAgent,
+    "execution": ExecutionAgent,
+}
+
+
+class WorldEnv:
+    def __init__(self, ma_config: MultiAgentConfig,
+                 data: Optional[LoadedData] = None,
+                 key: Optional[Array] = None):
+        self.config = ma_config
+        self.wcfg = ma_config.world
+        self.agent_types = [
+            AGENT_REGISTRY[acfg.agent_kind](acfg, self.wcfg)
+            for acfg in ma_config.agents
+        ]
+        self.n_per_type = tuple(ma_config.n_agents_per_type)
+        self.num_agents = sum(self.n_per_type)
+        self.num_msgs_per_step = ma_config.num_msgs_per_step
+        self.num_action_msgs_per_step = sum(
+            acfg.num_action_messages * n
+            for acfg, n in zip(ma_config.agents, self.n_per_type))
+        key = key if key is not None else jax.random.PRNGKey(self.wcfg.seed)
+        self._world_params = env_base.make_world_params(self.wcfg, key, data)
+        self.n_windows = int(
+            self._world_params.init_states.window_index.shape[0])
+
+        self.action_spaces = [a.action_space() for a in self.agent_types]
+        self.observation_spaces = [a.observation_space() for a in self.agent_types]
+
+    # ------------------------------------------------------------------
+
+    @property
+    def default_params(self) -> MultiAgentParams:
+        """(ref: marl_env.py:139-172)"""
+        agent_params = []
+        next_tid = self.wcfg.trader_id_range_start
+        for agent, n in zip(self.agent_types, self.n_per_type):
+            p, next_tid = agent.default_params(next_tid, n)
+            agent_params.append(p)
+        return MultiAgentParams(world=self._world_params,
+                                agents=tuple(agent_params))
+
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def reset_env(self, key: Array, params: MultiAgentParams
+                  ) -> Tuple[List[Any], MultiAgentState]:
+        """(ref: marl_env.py:168-237)"""
+        keys = jax.random.split(key, len(self.agent_types) + 1)
+        world_key, agent_keys = keys[-1], keys[:-1]
+
+        idx = env_base.pick_window(self.wcfg, world_key, self.n_windows)
+        load_state = env_base.gather_reset_state(params.world, idx)
+
+        best_ask, best_bid = bk.best_bid_and_ask_incl_quants(
+            self.wcfg, load_state.asks, load_state.bids)
+        bestbids = jnp.tile(best_bid[None, :], (self.num_msgs_per_step, 1))
+        bestasks = jnp.tile(best_ask[None, :], (self.num_msgs_per_step, 1))
+        mid_price = jnp.float32((best_bid[0] + best_ask[0]) / 2)
+
+        world = WorldState(
+            asks=load_state.asks, bids=load_state.bids,
+            trades=load_state.trades, init_time=load_state.init_time,
+            window_index=load_state.window_index,
+            max_steps_in_episode=load_state.max_steps_in_episode,
+            start_index=load_state.start_index,
+            step_counter=load_state.step_counter,
+            best_bids=bestbids, best_asks=bestasks,
+            time=load_state.init_time,
+            order_id_counter=jnp.asarray(
+                self.wcfg.order_id_counter_start, jnp.int32),
+            mid_price=mid_price, delta_time=jnp.float32(0.0))
+
+        obs_list, state_list = [], []
+        for agent, ap, ak, n in zip(self.agent_types, params.agents,
+                                    agent_keys, self.n_per_type):
+            # NOTE: one key per *type* (all instances share it), matching the
+            # reference's vmap in_axes (ref: marl_env.py:217).
+            obs, st = jax.vmap(agent.reset, in_axes=(0, None, None))(ap, ak, world)
+            obs_list.append(obs)
+            state_list.append(st)
+        return obs_list, MultiAgentState(world=world, agents=tuple(state_list))
+
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step_env(self, key: Array, state: MultiAgentState, actions: List[Any],
+                 params: MultiAgentParams):
+        """(ref: marl_env.py:241-662)"""
+        wcfg = self.wcfg
+        world = state.world
+
+        # (B) data messages
+        data_msgs = env_base.get_data_messages(
+            wcfg, params.world.message_data, world.start_index,
+            world.step_counter, world.init_time[0] + wcfg.episode_time)
+
+        # (C) per-type action + cancel messages
+        all_action, all_cancel = [], []
+        for i, (agent, n) in enumerate(zip(self.agent_types, self.n_per_type)):
+            a = actions[i]
+            if n == 1:
+                a = jnp.expand_dims(a, 0)  # single agents pass unbatched actions
+            msgs_a, msgs_c = jax.vmap(
+                agent.get_messages, in_axes=(0, None, 0, 0))(
+                a, world, state.agents[i], params.agents[i])
+            all_action.append(msgs_a.reshape(-1, 8))
+            all_cancel.append(msgs_c.reshape(-1, 8))
+        action_msgs = jnp.vstack(all_action)
+        cancel_msgs = jnp.vstack(all_cancel)
+
+        # central order-id assignment: negative decreasing world counter
+        # (ref: marl_env.py:313-324)
+        n_act = self.num_action_msgs_per_step
+        new_ids = jnp.arange(0, -n_act, -1) + world.order_id_counter
+        action_msgs = action_msgs.at[:, MsgCol.OID].set(new_ids)
+        new_id_counter = world.order_id_counter - n_act
+        if wcfg.shuffle_action_messages:
+            key, sk = jax.random.split(key)
+            action_msgs = jax.random.permutation(sk, action_msgs, axis=0)
+
+        combined = jnp.concatenate([cancel_msgs, action_msgs, data_msgs], axis=0)
+
+        # (D) engine scan with fresh trade log (per-step trades only)
+        book0 = bk.BookState(asks=world.asks, bids=world.bids,
+                             trades=bk.init_trades(wcfg.n_trades))
+        book, (bestasks, bestbids) = engine.process_messages_save_bidask(
+            wcfg, key, combined, book0, self.num_msgs_per_step)
+        bestasks = ffill_best_prices(bestasks, world.best_asks[-1, 0])
+        bestbids = ffill_best_prices(bestbids, world.best_bids[-1, 0])
+
+        final_time = combined[-1, -2:]
+
+        # (E) rewards against the OLD world state
+        rewards, extras_list = [], []
+        for i, agent in enumerate(self.agent_types):
+            r, ex = jax.vmap(
+                agent.get_reward,
+                in_axes=(None, 0, 0, None, None, None, None))(
+                world, state.agents[i], params.agents[i], book.trades,
+                bestasks, bestbids, final_time)
+            rewards.append(r)
+            extras_list.append(ex)
+
+        # (F) world update
+        old_time = world.time
+        old_mid = world.mid_price
+        new_world = world.replace(
+            asks=book.asks, bids=book.bids, trades=book.trades,
+            best_asks=bestasks, best_bids=bestbids, time=final_time,
+            order_id_counter=new_id_counter,
+            step_counter=world.step_counter + 1,
+            mid_price=(bestbids[-1, 0] + bestasks[-1, 0]) / 2,
+            delta_time=(final_time[0] + final_time[1] / 1e9
+                        - world.time[0] - world.time[1] / 1e9))
+
+        # (G) agent state updates against the NEW world state
+        new_agent_states, dones_list, infos_list = [], [], []
+        for i, agent in enumerate(self.agent_types):
+            st, dn, inf = jax.vmap(
+                agent.update_state, in_axes=(None, 0, 0))(
+                new_world, state.agents[i], extras_list[i])
+            new_agent_states.append(st)
+            dones_list.append(dn)
+            infos_list.append(inf)
+
+        new_state = MultiAgentState(world=new_world,
+                                    agents=tuple(new_agent_states))
+
+        # (I) dones
+        all_dones = jnp.concatenate(dones_list)
+        done_all = jnp.all(all_dones)
+        dones = {"__all__": done_all, "agents": dones_list}
+
+        # (J) info
+        world_info = {
+            "window_index": new_world.window_index,
+            "end_mid_price": new_world.mid_price,
+            "step_counter": new_world.step_counter,
+            "time": new_world.time,
+            "order_id_counter": new_world.order_id_counter,
+            "average_best_ask": new_world.best_asks[:, 0].mean(),
+            "average_best_bid": new_world.best_bids[:, 0].mean(),
+            "delta_time": new_world.delta_time,
+            "current_step": new_world.step_counter,
+        }
+        if wcfg.debug_mode:
+            world_info.update(
+                trades=book.trades, total_msgs=combined,
+                lob_state=bk.get_l2_state(wcfg, 10, new_world.asks,
+                                          new_world.bids))
+        info = {"world": world_info, "agents": infos_list}
+
+        # (K) observations, zero-masked for done agents (unless all done)
+        obs_list = []
+        for i, agent in enumerate(self.agent_types):
+            obs = jax.vmap(
+                agent.get_observation,
+                in_axes=(None, 0, 0, None, None, None, None, None, None))(
+                new_world, new_agent_states[i], params.agents[i], combined,
+                old_time, old_mid, None, agent.cfg.normalize, True)
+            mask = jnp.logical_and(dones_list[i], jnp.logical_not(done_all))
+
+            def apply_mask(o):
+                m = jnp.reshape(mask, mask.shape + (1,) * (o.ndim - mask.ndim))
+                return jnp.where(m, jnp.zeros_like(o), o)
+
+            obs_list.append(jax.tree.map(apply_mask, obs))
+
+        return obs_list, new_state, rewards, dones, info
+
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def reset(self, key: Array, params: MultiAgentParams):
+        return self.reset_env(key, params)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step(self, key: Array, state: MultiAgentState, actions: List[Any],
+             params: MultiAgentParams):
+        """Step with in-graph auto-reset (ref: marl_env.py:737-766)."""
+        key, key_reset = jax.random.split(key)
+        obs_st, st_st, rewards, dones, infos = self.step_env(
+            key, state, actions, params)
+        obs_re, st_re = self.reset_env(key_reset, params)
+        done = dones["__all__"]
+        states = jax.tree.map(lambda x, y: jax.lax.select(done, x, y),
+                              st_re, st_st)
+        obs = jax.tree.map(lambda x, y: jax.lax.select(done, x, y),
+                           obs_re, obs_st)
+        return obs, states, rewards, dones, infos
+
+    def action_space(self):
+        return self.action_spaces
+
+    def observation_space(self):
+        return self.observation_spaces
+
+
+def make_world_env(ma_config: Optional[MultiAgentConfig] = None,
+                   data: Optional[LoadedData] = None,
+                   key: Optional[Array] = None) -> WorldEnv:
+    """Convenience constructor with the default 2-player MM+Exec setup."""
+    return WorldEnv(ma_config or MultiAgentConfig(), data=data, key=key)
