@@ -1,0 +1,172 @@
+"""Benchmark: vmapped LOB env-steps/sec/chip with a policy in the loop.
+
+Measures the headline number from BASELINE.json: environment steps per
+second per chip for the 2-player MARL world (market-maker + execution,
+full matching-engine replay per step) with the policy forward pass in the
+rollout loop.  Baseline target: 1e6 env-steps/sec/chip (v5e) with a
+ViT-Small encoder in the loop.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Usage:
+  python bench.py                  # full benchmark on the default device
+  python bench.py --smoke          # tiny shapes, CPU-friendly sanity run
+  python bench.py --policy vit-small --envs 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_ENV_STEPS = 1_000_000.0  # north star: 1M env-steps/sec/chip
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--envs", type=int, default=2048)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--data-msgs", type=int, default=100)
+    p.add_argument("--policy", default="gru",
+                   choices=["none", "gru", "vit-tiny", "vit-small", "vit-base"])
+    p.add_argument("--smoke", action="store_true")
+    args = p.parse_args()
+
+    if args.smoke:
+        args.envs, args.steps, args.reps, args.data_msgs = 8, 4, 1, 10
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_marl_tpu.config import (
+        ExecutionConfig,
+        MarketMakingConfig,
+        MultiAgentConfig,
+        TrainConfig,
+        WorldConfig,
+    )
+    from vit_marl_tpu.env import make_world_env
+    from vit_marl_tpu.models.rnn import ScannedGRU
+    from vit_marl_tpu.rl.ppo import make_network
+
+    use_vision = args.policy.startswith("vit")
+    wcfg = WorldConfig(
+        n_data_msg_per_step=args.data_msgs, ep_type="fixed_steps",
+        episode_time=50, start_resolution=50,
+        n_messages_per_synthetic_day=max(30_000, args.data_msgs * 60 * 4))
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(action_space="spread_skew"),
+                ExecutionConfig(
+                    action_space=("policy_blending" if use_vision
+                                  else "fixed_quants_complex"),
+                    observation_space=("execution_policy" if use_vision
+                                       else "engineered"),
+                    reward_space="dual_ppo" if use_vision else "normal",
+                    use_vision_obs=use_vision)),
+        n_agents_per_type=(1, 1))
+    env = make_world_env(ma)
+    params = env.default_params
+
+    n_types = len(env.agent_types)
+    key = jax.random.PRNGKey(0)
+    reset_keys = jax.random.split(key, args.envs)
+    obs, state = jax.vmap(env.reset, in_axes=(0, None))(reset_keys, params)
+
+    if args.policy == "none":
+        def policy_actions(carry, obs, rng):
+            acts = [jnp.zeros((args.envs,), jnp.int32)]
+            a1 = env.action_spaces[1]
+            if hasattr(a1, "n"):
+                acts.append(jnp.ones((args.envs,), jnp.int32))
+            else:
+                acts.append(jnp.ones((args.envs, 3), jnp.float32) * 0.5)
+            return carry, acts
+        carry0 = ()
+    else:
+        preset = {"gru": None, "vit-tiny": "tiny", "vit-small": "small",
+                  "vit-base": "base"}[args.policy]
+        tc = TrainConfig(
+            num_envs=args.envs,
+            network=("gru", "vit_gru") if use_vision else ("gru", "gru"),
+            vit_preset=preset or "tiny")
+        nets, net_params, hs = [], [], []
+        for i in range(n_types):
+            net = make_network(tc, i, env.action_spaces[i],
+                               env.observation_spaces[i])
+            h = ScannedGRU.initialize_carry(args.envs, tc.hidden_size)
+            obs_i = jax.tree.map(
+                lambda v: v.reshape((args.envs,) + v.shape[2:])[None], obs[i])
+            pi_params = net.init(jax.random.PRNGKey(i), h,
+                                 (obs_i, jnp.zeros((1, args.envs))))
+            nets.append(net)
+            net_params.append(pi_params)
+            hs.append(h)
+
+        def policy_actions(carry, obs, rng):
+            hs = list(carry)
+            acts = []
+            for i in range(n_types):
+                obs_i = jax.tree.map(
+                    lambda v: v.reshape((args.envs,) + v.shape[2:])[None],
+                    obs[i])
+                hs[i], pi, _ = nets[i].apply(
+                    net_params[i], hs[i],
+                    (obs_i, jnp.zeros((1, args.envs))))
+                a = pi.sample(seed=rng)
+                acts.append(jax.tree.map(lambda v: v[0], a))
+            return tuple(hs), acts
+        carry0 = tuple(hs)
+
+    def rollout(key, state, obs, carry):
+        def step_fn(loop_state, _):
+            key, state, obs, carry = loop_state
+            key, krng, kstep = jax.random.split(key, 3)
+            carry, acts = policy_actions(carry, obs, krng)
+            step_keys = jax.random.split(kstep, args.envs)
+            obs, state, rew, dones, _ = jax.vmap(
+                env.step, in_axes=(0, 0, [0] * n_types, None))(
+                step_keys, state, acts, params)
+            return (key, state, obs, carry), rew[0].sum()
+
+        (key, state, obs, carry), rsum = jax.lax.scan(
+            step_fn, (key, state, obs, carry), None, args.steps)
+        return state, obs, carry, rsum.sum()
+
+    rollout_jit = jax.jit(rollout)
+
+    # compile
+    t0 = time.time()
+    state2, obs2, carry2, _ = jax.block_until_ready(
+        rollout_jit(key, state, obs, carry0))
+    compile_time = time.time() - t0
+
+    # timed
+    t0 = time.time()
+    for r in range(args.reps):
+        state2, obs2, carry2, s = rollout_jit(jax.random.fold_in(key, r),
+                                              state2, obs2, carry2)
+    jax.block_until_ready(s)
+    dt = time.time() - t0
+    env_steps = args.envs * args.steps * args.reps
+    rate = env_steps / dt
+
+    result = {
+        "metric": f"env_steps_per_sec_per_chip[{args.policy}]",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / BASELINE_ENV_STEPS, 4),
+    }
+    print(json.dumps(result))
+    print(f"# device={jax.devices()[0].platform} envs={args.envs} "
+          f"steps={args.steps} reps={args.reps} msgs/step="
+          f"{env.num_msgs_per_step} compile={compile_time:.1f}s "
+          f"run={dt:.2f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Evaluation layer: baselines + combination matrix."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_marl_tpu.config import (
+    ExecutionConfig,
+    MarketMakingConfig,
+    MultiAgentConfig,
+    WorldConfig,
+)
+from vit_marl_tpu.env import make_world_env
+from vit_marl_tpu.eval import (
+    FixedActionPolicy,
+    RandomPolicy,
+    evaluate_combinations,
+    rollout,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_env():
+    wcfg = WorldConfig(n_data_msg_per_step=10, ep_type="fixed_steps",
+                       episode_time=6, start_resolution=5,
+                       n_messages_per_synthetic_day=2_000)
+    # canonical baseline pairing: MM=AvSt, Exec=twap
+    # (ref: baseline_eval/config/base_config.yaml:56-59)
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(action_space="AvSt"),
+                ExecutionConfig(action_space="twap",
+                                observation_space="simplest_case",
+                                reward_space="simplest_case")),
+        n_agents_per_type=(1, 1))
+    return make_world_env(ma)
+
+
+def test_fixed_action_policy_distribution():
+    pol = FixedActionPolicy(2, n_actions=5)
+    obs = jnp.zeros((1, 6, 3))
+    _, pi, v = pol.apply(None, None, (obs, jnp.zeros((1, 6))))
+    a = pi.sample(seed=KEY)
+    assert (np.asarray(a) == 2).all()
+    assert v.shape == (1, 6)
+
+
+def test_random_policy_uniform():
+    pol = RandomPolicy(4)
+    obs = jnp.zeros((1, 512, 3))
+    _, pi, _ = pol.apply(None, None, (obs, jnp.zeros((1, 512))))
+    a = np.asarray(pi.sample(seed=KEY))
+    assert set(np.unique(a)) == {0, 1, 2, 3}
+
+
+def test_combination_matrix():
+    env = make_env()
+    params = env.default_params
+    learned = [RandomPolicy(env.action_spaces[0].n),
+               RandomPolicy(env.action_spaces[1].n)]
+    baseline = [FixedActionPolicy(3, n_actions=env.action_spaces[0].n),
+                FixedActionPolicy(0, n_actions=env.action_spaces[1].n)]
+    results = evaluate_combinations(env, params, learned, baseline,
+                                    num_envs=4, num_steps=6, rng=KEY)
+    assert set(results) == {"LL", "LB", "BL", "BB"}
+    for combo, summary in results.items():
+        assert len(summary["mean_rewards"]) == 2
+        assert np.isfinite(summary["mean_rewards"]).all()
+        assert summary["traj"]["rewards"][0].shape == (6, 4, 1)
+
+
+def test_rollout_shapes():
+    env = make_env()
+    params = env.default_params
+    pols = [FixedActionPolicy(1, n_actions=env.action_spaces[0].n),
+            FixedActionPolicy(0, n_actions=env.action_spaces[1].n)]
+    traj = rollout(env, params, pols, num_envs=3, num_steps=5, rng=KEY)
+    assert traj["dones"].shape == (5, 3)

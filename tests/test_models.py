@@ -1,0 +1,127 @@
+"""Tests for networks and distributions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_marl_tpu.models import (
+    ActorCriticRNN,
+    Categorical,
+    ScannedGRU,
+    SquashedNormal,
+    ViTActorCriticRNN,
+    ViTEncoder,
+    VisionAgentCNN,
+    VIT_PRESETS,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestDistributions:
+    def test_categorical_matches_softmax(self):
+        logits = jnp.array([[1.0, 2.0, 0.5], [0.0, 0.0, 0.0]])
+        d = Categorical(logits)
+        probs = jax.nn.softmax(logits)
+        np.testing.assert_allclose(np.exp(d.log_prob(jnp.array([1, 2]))),
+                                   np.array([probs[0, 1], probs[1, 2]]),
+                                   rtol=1e-5)
+        ent = -np.sum(np.asarray(probs) * np.log(np.asarray(probs)), axis=1)
+        np.testing.assert_allclose(np.asarray(d.entropy()), ent, rtol=1e-5)
+
+    def test_categorical_sampling_distribution(self):
+        logits = jnp.log(jnp.array([0.7, 0.2, 0.1]))
+        d = Categorical(jnp.tile(logits, (4000, 1)))
+        s = np.asarray(d.sample(seed=KEY))
+        freq = np.bincount(s, minlength=3) / len(s)
+        np.testing.assert_allclose(freq, [0.7, 0.2, 0.1], atol=0.05)
+
+    def test_squashed_normal_bounds_and_logprob(self):
+        low = jnp.array([-1.0, 0.0, 0.0])
+        high = jnp.array([3.0, 1.0, 1.0])
+        d = SquashedNormal(jnp.zeros((128, 3)), jnp.zeros((3,)), low, high)
+        s = np.asarray(d.sample(seed=KEY))
+        assert (s >= np.asarray(low)).all() and (s <= np.asarray(high)).all()
+        lp = d.log_prob(jnp.asarray(s))
+        assert np.isfinite(np.asarray(lp)).all()
+        # mode of zero-mean is the box midpoint
+        np.testing.assert_allclose(np.asarray(d.mode())[0],
+                                   np.asarray((low + high) / 2), atol=1e-5)
+
+
+class TestRNN:
+    def test_actor_critic_shapes_and_reset(self):
+        net = ActorCriticRNN(action_dim=5, fc_dim=16, hidden_size=16)
+        h = ScannedGRU.initialize_carry(4, 16)
+        obs = jnp.ones((3, 4, 10))        # (time, batch, obs)
+        dones = jnp.zeros((3, 4))
+        params = net.init(KEY, h, (obs, dones))
+        h2, pi, v = net.apply(params, h, (obs, dones))
+        assert v.shape == (3, 4)
+        assert pi.logits.shape == (3, 4, 5)
+        # a done at t resets the carry before processing t
+        dones_reset = dones.at[1].set(1.0)
+        h3, pi3, v3 = net.apply(params, h, (obs, dones_reset))
+        assert not np.allclose(np.asarray(v), np.asarray(v3))
+        # t=0 outputs unaffected by later resets
+        np.testing.assert_allclose(np.asarray(v[0]), np.asarray(v3[0]))
+
+
+class TestViT:
+    def test_encoder_shapes(self):
+        enc = ViTEncoder(VIT_PRESETS["micro"])
+        img = jnp.ones((5, 10, 3, 2))
+        params = enc.init(KEY, img)
+        out = enc.apply(params, img)
+        assert out.shape == (5, 64)
+        assert out.dtype == jnp.float32
+
+    def test_encoder_leading_axes(self):
+        enc = ViTEncoder(VIT_PRESETS["micro"])
+        img = jax.random.normal(KEY, (2, 3, 10, 3, 2))
+        params = enc.init(KEY, img)
+        out = enc.apply(params, img)
+        assert out.shape == (2, 3, 64)
+        # batched == flat: encoder is pointwise over leading axes
+        flat = enc.apply(params, img.reshape(6, 10, 3, 2)).reshape(2, 3, 64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(flat),
+                                   rtol=2e-2, atol=2e-2)  # bf16 matmuls
+
+    def test_encoder_fp32_fidelity(self):
+        """bf16 compute stays close to an fp32 reference forward pass."""
+        from vit_marl_tpu.models.vit import ViTConfig
+        img = jax.random.normal(KEY, (4, 10, 3, 2))
+        cfg16 = ViTConfig(width=64, depth=2, heads=2, compute_dtype="bfloat16")
+        cfg32 = ViTConfig(width=64, depth=2, heads=2, compute_dtype="float32")
+        enc16, enc32 = ViTEncoder(cfg16), ViTEncoder(cfg32)
+        params = enc32.init(KEY, img)
+        out32 = enc32.apply(params, img)
+        out16 = enc16.apply(params, img)
+        err = np.abs(np.asarray(out32) - np.asarray(out16)).max()
+        scale = np.abs(np.asarray(out32)).max()
+        assert err / scale < 0.05
+
+    def test_vit_actor_critic(self):
+        net = ViTActorCriticRNN(action_dim=3, vit=VIT_PRESETS["micro"],
+                                fc_dim=16, hidden_size=16, continuous=True,
+                                action_low=jnp.array([-1.0, 0.0, 0.0]),
+                                action_high=jnp.array([3.0, 1.0, 1.0]))
+        h = ScannedGRU.initialize_carry(4, 16)
+        obs = {"obs": jnp.ones((2, 4, 28)),
+               "vision_obs": jnp.ones((2, 4, 10, 3, 2))}
+        dones = jnp.zeros((2, 4))
+        params = net.init(KEY, h, (obs, dones))
+        h2, pi, v = net.apply(params, h, (obs, dones))
+        assert v.shape == (2, 4)
+        a = pi.sample(seed=KEY)
+        assert a.shape == (2, 4, 3)
+        assert np.isfinite(np.asarray(pi.log_prob(a))).all()
+
+
+def test_cnn_vision_agent():
+    net = VisionAgentCNN(features=32)
+    img = jnp.ones((7, 10, 3, 2))
+    params = net.init(KEY, img)
+    out = net.apply(params, img)
+    assert out.shape == (7, 32)

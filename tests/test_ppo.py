@@ -1,0 +1,108 @@
+"""IPPO trainer tests: losses finite, params update, vision path, checkpoints."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_marl_tpu.config import (
+    ExecutionConfig,
+    MarketMakingConfig,
+    MultiAgentConfig,
+    TrainConfig,
+    WorldConfig,
+)
+from vit_marl_tpu.rl.ppo import make_train
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_ma(exec_kw=None, mm_kw=None):
+    wcfg = WorldConfig(n_data_msg_per_step=10, ep_type="fixed_steps",
+                       episode_time=8, start_resolution=5,
+                       n_messages_per_synthetic_day=2_000)
+    return MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(**(mm_kw or {})),
+                ExecutionConfig(**(exec_kw or dict(
+                    action_space="simplest_case",
+                    observation_space="simplest_case",
+                    reward_space="simplest_case")))),
+        n_agents_per_type=(1, 1))
+
+
+def tiny_train(n_updates=2, **kw):
+    defaults = dict(num_envs=4, num_steps=8, num_minibatches=2,
+                    update_epochs=2, log_backend="none")
+    defaults["total_timesteps"] = 4 * 8 * n_updates
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def leaves_allclose(a, b):
+    return all(np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_training_updates_params_and_finite_losses():
+    train = make_train(tiny_ma(), tiny_train(2))
+    out = train(KEY)
+    assert len(out["metrics"]) == 2
+    for m in out["metrics"]:
+        for k, v in m.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+    ts = out["runner_state"][0]
+    # params must have changed between init seeds is hard; instead check the
+    # optimizer stepped as many times as epochs*minibatches*updates
+    assert int(ts[0].step) == 2 * 2 * 2
+    assert int(ts[1].step) == 2 * 2 * 2
+
+
+def test_training_multi_instance():
+    wcfg = WorldConfig(n_data_msg_per_step=10, ep_type="fixed_steps",
+                       episode_time=8, start_resolution=5,
+                       n_messages_per_synthetic_day=2_000)
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(), ExecutionConfig(
+            action_space="simplest_case", observation_space="simplest_case",
+            reward_space="simplest_case")),
+        n_agents_per_type=(2, 2))
+    train = make_train(ma, tiny_train(1))
+    out = train(KEY)
+    assert np.isfinite(
+        np.asarray(out["metrics"][0]["MM/total_loss"])).all()
+
+
+def test_training_vision_vit_continuous():
+    ma = tiny_ma(exec_kw=dict(action_space="policy_blending",
+                              observation_space="execution_policy",
+                              reward_space="dual_ppo", use_vision_obs=True))
+    tc = tiny_train(1, network=("gru", "vit_gru"), vit_preset="micro")
+    out = make_train(ma, tc)(KEY)
+    m = out["metrics"][0]
+    assert np.isfinite(np.asarray(m["EXE/total_loss"])).all()
+    assert float(m["EXE/entropy"]) != 0.0
+
+
+def test_dict_obs_requires_vit_network():
+    ma = tiny_ma(exec_kw=dict(use_vision_obs=True))
+    with pytest.raises(ValueError, match="vit_gru"):
+        make_train(ma, tiny_train(1))
+
+
+def test_checkpointing(tmp_path):
+    tc = tiny_train(2, checkpoint_dir=str(tmp_path / "ckpt"))
+    out = make_train(tiny_ma(), tc)(KEY)
+    from vit_marl_tpu.rl.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.latest_step() == 1
+    params = [ts.params for ts in out["runner_state"][0]]
+    restored = mgr.restore(template={"params": params,
+                                     "metrics": out["metrics"][-1]})
+    assert leaves_allclose(restored["params"], params)
+
+
+def test_anneal_lr_off_runs():
+    out = make_train(tiny_ma(), tiny_train(1, anneal_lr=False))(KEY)
+    assert len(out["metrics"]) == 1

@@ -1,0 +1,7 @@
+"""Device-mesh scale-out (replaces the reference's pmap script)."""
+
+from vit_marl_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+)

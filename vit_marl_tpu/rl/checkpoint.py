@@ -1,0 +1,43 @@
+"""Orbax checkpointing wrappers (ref: ippo_rnn_JAXMARL.py:781-828).
+
+Saves per-type network params (+ metrics) every update, keeping the last
+``max_to_keep``; restore by step or latest.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 2,
+                 keep_period: Optional[int] = None):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, keep_period=keep_period, create=True)
+        self._mgr = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, step: int, params_list, metrics: Optional[Dict] = None):
+        payload = {"params": params_list}
+        if metrics is not None:
+            payload["metrics"] = {k: float(v) for k, v in metrics.items()}
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def restore(self, step: Optional[int] = None,
+                template: Any = None) -> Dict:
+        step = self.latest_step() if step is None else step
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()

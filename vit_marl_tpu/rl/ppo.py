@@ -1,0 +1,338 @@
+"""IPPO with recurrent (and ViT-vision) policies.
+
+PureJaxRL-style rebuild of the reference trainer
+(ref: gymnax_exchange/jaxrl/MARL/ippo_rnn_JAXMARL.py:138-835): one network,
+optimizer and hidden-state per *agent type*; a single jitted ``update_step``
+runs rollout (``lax.scan`` of policies + ``vmap(env.step)``), per-type GAE
+(reverse scan, unroll=16), and per-type clipped-PPO minibatch epochs; the
+Python-level loop handles checkpointing and logging.
+
+Beyond the reference, the ``"vit_gru"`` network consumes the dual
+``{"obs", "vision_obs"}`` observation — closing the trainer-side half of the
+fork's "FIXME: APPLY VISION" gap — and continuous Box actions
+(policy_blending) train through a squashed-Gaussian head.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training.train_state import TrainState
+
+from vit_marl_tpu.config import MultiAgentConfig, TrainConfig
+from vit_marl_tpu.env.spaces import Box, Discrete
+from vit_marl_tpu.env.world import WorldEnv
+from vit_marl_tpu.models.rnn import ActorCriticRNN, ScannedGRU
+from vit_marl_tpu.models.vit import VIT_PRESETS, ViTActorCriticRNN
+from vit_marl_tpu.rl.logger import Logger
+
+Array = jax.Array
+
+
+class Transition(NamedTuple):
+    """(ref: ippo_rnn_JAXMARL.py:119-128)"""
+
+    global_done: Array
+    done: Array
+    action: Array
+    value: Array
+    reward: Array
+    log_prob: Array
+    obs: Any
+
+
+def batchify(x, num_actors: int):
+    return jax.tree.map(
+        lambda v: v.reshape((num_actors,) + v.shape[2:]), x)
+
+
+def _per_type(val, i: int):
+    if isinstance(val, (tuple, list)):
+        return val[i % len(val)]
+    return val
+
+
+def make_network(cfg: TrainConfig, i: int, action_space, obs_space):
+    """Build the per-type policy network (gru | vit_gru)."""
+    kind = _per_type(cfg.network, i)
+    continuous = isinstance(action_space, Box)
+    if continuous:
+        action_dim = int(action_space.shape[0])
+        low, high = action_space.low, action_space.high
+    else:
+        action_dim = int(action_space.n)
+        low = high = None
+    if kind == "vit_gru":
+        return ViTActorCriticRNN(
+            action_dim=action_dim, vit=VIT_PRESETS[cfg.vit_preset],
+            fc_dim=cfg.fc_dim, hidden_size=cfg.hidden_size,
+            continuous=continuous, action_low=low, action_high=high)
+    return ActorCriticRNN(
+        action_dim=action_dim, fc_dim=cfg.fc_dim,
+        hidden_size=cfg.hidden_size, continuous=continuous,
+        action_low=low, action_high=high)
+
+
+def _dummy_obs(space, num_envs: int):
+    """Zero observation with a leading (time=1, num_actors) shape."""
+    if hasattr(space, "spaces"):  # Dict space
+        return {k: jnp.zeros((1, num_envs) + tuple(s.shape))
+                for k, s in space.spaces.items()}
+    return jnp.zeros((1, num_envs) + tuple(space.shape))
+
+
+def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
+               env: Optional[WorldEnv] = None,
+               logger: Optional[Logger] = None,
+               mesh=None):
+    """Build the training function (ref: ippo_rnn_JAXMARL.py:138-221).
+
+    When ``mesh`` is given, the environment batch (env states, observations,
+    hidden states, dones) is sharded over the mesh's ``data`` axis and
+    parameters are replicated; GSPMD derives the gradient all-reduce over
+    ICI — the pjit-native replacement for the reference's pmap script
+    (ref: ippo_rnn_JAXMARL_pmap.py).
+    """
+    env = env or WorldEnv(ma_config)
+    logger = logger or Logger(cfg.log_backend, cfg.log_path)
+    n_types = len(env.agent_types)
+    num_actors = [n * cfg.num_envs for n in env.n_per_type]
+    num_updates = max(cfg.num_updates, 1)
+    # Dict obs requires the vit network; guard early.
+    for i, sp in enumerate(env.observation_spaces):
+        if hasattr(sp, "spaces") and _per_type(cfg.network, i) != "vit_gru":
+            raise ValueError(
+                f"agent type {i} emits dict observations; set network[{i}] "
+                f"to 'vit_gru'")
+
+    def linear_schedule(lr, count):
+        n_mb = cfg.num_minibatches * cfg.update_epochs
+        frac = 1.0 - (count // n_mb) / num_updates
+        return lr * frac
+
+    def train(rng: Array):
+        env_params = env.default_params
+
+        # ---- per-type init (ref: ippo_rnn_JAXMARL.py:237-274) ----
+        networks, train_states, hstates = [], [], []
+        for i in range(n_types):
+            network = make_network(cfg, i, env.action_spaces[i],
+                                   env.observation_spaces[i])
+            networks.append(network)
+            rng, _rng = jax.random.split(rng)
+            init_x = (_dummy_obs(env.observation_spaces[i], cfg.num_envs),
+                      jnp.zeros((1, cfg.num_envs)))
+            init_h = ScannedGRU.initialize_carry(cfg.num_envs, cfg.hidden_size)
+            params = network.init(_rng, init_h, init_x)
+            lr_i = _per_type(cfg.lr, i)
+            if cfg.anneal_lr:
+                lr_fn = functools.partial(linear_schedule, lr_i)
+            else:
+                lr_fn = lr_i
+            tx = optax.chain(
+                optax.clip_by_global_norm(_per_type(cfg.max_grad_norm, i)),
+                optax.adam(learning_rate=lr_fn, eps=1e-5))
+            train_states.append(TrainState.create(
+                apply_fn=network.apply, params=params, tx=tx))
+            hstates.append(ScannedGRU.initialize_carry(num_actors[i],
+                                                       cfg.hidden_size))
+
+        rng, _rng = jax.random.split(rng)
+        reset_rng = jax.random.split(_rng, cfg.num_envs)
+        obsv, env_state = jax.vmap(env.reset, in_axes=(0, None))(
+            reset_rng, env_params)
+        init_dones = [jnp.zeros((num_actors[i],), bool) for i in range(n_types)]
+
+        # ---- one PPO update (ref: ippo_rnn_JAXMARL.py:276-576) ----
+        def _update_step(runner_state, update_idx):
+            def _env_step(rs, _):
+                train_states, env_state, last_obs, last_done, h_states, rng = rs
+                rng, _rng = jax.random.split(rng)
+                actions, values, log_probs, new_h = [], [], [], []
+                for i, ts in enumerate(train_states):
+                    obs_i = batchify(last_obs[i], num_actors[i])
+                    ac_in = (jax.tree.map(lambda v: v[None], obs_i),
+                             last_done[i][None])
+                    h, pi, value = ts.apply_fn(ts.params, h_states[i], ac_in)
+                    new_h.append(h)
+                    values.append(value)
+                    action = pi.sample(seed=_rng)
+                    log_probs.append(pi.log_prob(action))
+                    # (1, num_actors, ...) -> (num_envs, n_agents, ...)
+                    a = action.reshape((cfg.num_envs, env.n_per_type[i])
+                                       + action.shape[2:])
+                    actions.append(a.squeeze() if env.n_per_type[i] == 1
+                                   else a)
+                rng, _rng = jax.random.split(rng)
+                step_rng = jax.random.split(_rng, cfg.num_envs)
+                obsv, env_state, reward, done, info = jax.vmap(
+                    env.step, in_axes=(0, 0, [0] * n_types, None))(
+                    step_rng, env_state, actions, env_params)
+                transitions = []
+                new_dones = []
+                for i in range(n_types):
+                    done_i = batchify(done["agents"][i],
+                                      num_actors[i]).squeeze()
+                    new_dones.append(done_i)
+                    transitions.append(Transition(
+                        global_done=jnp.tile(done["__all__"],
+                                             env.n_per_type[i]),
+                        done=last_done[i],
+                        action=batchify(actions[i].reshape(
+                            (cfg.num_envs, env.n_per_type[i])
+                            + (actions[i].shape[2:]
+                               if env.n_per_type[i] > 1
+                               else actions[i].shape[1:])), num_actors[i]),
+                        value=values[i].squeeze(0),
+                        reward=batchify(reward[i], num_actors[i]).squeeze(),
+                        log_prob=log_probs[i].squeeze(0),
+                        obs=batchify(obsv[i], num_actors[i]),
+                    ))
+                rs = (train_states, env_state, obsv, new_dones, new_h, rng)
+                return rs, transitions
+
+            initial_hstates = runner_state[-2]
+            runner_state, traj_batch = jax.lax.scan(
+                _env_step, runner_state, None, cfg.num_steps)
+            train_states, env_state, last_obs, last_dones, h_new, rng = runner_state
+
+            # ---- GAE per type (ref: ippo_rnn_JAXMARL.py:372-413) ----
+            def _gae(gamma, lam, traj, last_val):
+                def scan_fn(carry, tr):
+                    gae, next_value = carry
+                    delta = (tr.reward + gamma * next_value
+                             * (1 - tr.global_done) - tr.value)
+                    gae = delta + gamma * lam * (1 - tr.global_done) * gae
+                    return (gae, tr.value), gae
+                _, adv = jax.lax.scan(scan_fn,
+                                      (jnp.zeros_like(last_val), last_val),
+                                      traj, reverse=True, unroll=16)
+                return adv, adv + traj.value
+
+            advantages, targets = [], []
+            for i, ts in enumerate(train_states):
+                obs_i = batchify(last_obs[i], num_actors[i])
+                ac_in = (jax.tree.map(lambda v: v[None], obs_i),
+                         last_dones[i][None])
+                _, _, last_val = ts.apply_fn(ts.params, h_new[i], ac_in)
+                adv, tgt = _gae(_per_type(cfg.gamma, i),
+                                _per_type(cfg.gae_lambda, i),
+                                traj_batch[i], last_val.squeeze(0))
+                advantages.append(adv)
+                targets.append(tgt)
+
+            # ---- PPO epochs per type (ref: ippo_rnn_JAXMARL.py:419-540) ----
+            loss_infos = []
+            new_train_states = list(train_states)
+            for i in range(n_types):
+                clip_eps = _per_type(cfg.clip_eps, i)
+                vf_coef = _per_type(cfg.vf_coef, i)
+                ent_coef = _per_type(cfg.ent_coef, i)
+
+                def _loss_fn(params, init_h, traj, gae, tgts, ts=train_states[i]):
+                    _, pi, value = ts.apply_fn(params, init_h.squeeze(0),
+                                               (traj.obs, traj.done))
+                    log_prob = pi.log_prob(traj.action)
+                    v_clip = traj.value + (value - traj.value).clip(
+                        -clip_eps, clip_eps)
+                    v_loss = 0.5 * jnp.maximum(
+                        jnp.square(value - tgts),
+                        jnp.square(v_clip - tgts)).mean()
+                    logratio = log_prob - traj.log_prob
+                    ratio = jnp.exp(logratio)
+                    gae = (gae - gae.mean()) / (gae.std() + 1e-8)
+                    l1 = ratio * gae
+                    l2 = jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * gae
+                    actor_loss = -jnp.minimum(l1, l2).mean()
+                    entropy = pi.entropy().mean()
+                    approx_kl = ((ratio - 1) - logratio).mean()
+                    clip_frac = jnp.mean(jnp.abs(ratio - 1) > clip_eps)
+                    total = actor_loss + vf_coef * v_loss - ent_coef * entropy
+                    return total, (v_loss, actor_loss, entropy, approx_kl,
+                                   clip_frac)
+
+                def _update_minbatch(ts, batch):
+                    init_h, traj, gae, tgts = batch
+                    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+                    loss, grads = grad_fn(ts.params, init_h, traj, gae, tgts)
+                    return ts.apply_gradients(grads=grads), loss
+
+                def _update_epoch(carry, _):
+                    ts, init_h, traj, gae, tgts, rng = carry
+                    rng, _rng = jax.random.split(rng)
+                    init_h_r = jax.tree.map(
+                        lambda v: v.reshape((1, num_actors[i]) + v.shape[1:]),
+                        init_h)
+                    batch = (init_h_r, traj, gae.squeeze(), tgts.squeeze())
+                    perm = jax.random.permutation(_rng, num_actors[i])
+                    shuffled = jax.tree.map(
+                        lambda v: jnp.take(v, perm, axis=1), batch)
+                    minibatches = jax.tree.map(
+                        lambda v: jnp.swapaxes(jnp.reshape(
+                            v, [v.shape[0], cfg.num_minibatches, -1]
+                            + list(v.shape[2:])), 1, 0), shuffled)
+                    ts, losses = jax.lax.scan(_update_minbatch, ts, minibatches)
+                    return (ts, init_h, traj, gae, tgts, rng), losses
+
+                rng, _rng = jax.random.split(rng)
+                carry = (train_states[i], initial_hstates[i], traj_batch[i],
+                         advantages[i], targets[i], _rng)
+                carry, losses = jax.lax.scan(_update_epoch, carry, None,
+                                             cfg.update_epochs)
+                new_train_states[i] = carry[0]
+                total, (v_loss, a_loss, entropy, kl, clip_frac) = losses
+                loss_infos.append({
+                    "total_loss": total.mean(),
+                    "value_loss": v_loss.mean(),
+                    "actor_loss": a_loss.mean(),
+                    "entropy": entropy.mean(),
+                    "approx_kl": kl.mean(),
+                    "clip_frac": clip_frac.mean(),
+                })
+
+            # ---- metrics ----
+            metrics = {"update_step": update_idx}
+            for i in range(n_types):
+                name = env.agent_types[i].cfg.short_name
+                metrics[f"{name}/mean_reward"] = traj_batch[i].reward.mean()
+                for k, v in loss_infos[i].items():
+                    metrics[f"{name}/{k}"] = v
+            runner_state = (tuple(new_train_states), env_state, last_obs,
+                            last_dones, h_new, rng)
+            return runner_state, metrics
+
+        update_jit = jax.jit(_update_step)
+
+        if mesh is not None:
+            from vit_marl_tpu.parallel.mesh import replicate, shard_batch
+            train_states = replicate(train_states, mesh)
+            env_state = shard_batch(env_state, mesh)
+            obsv = shard_batch(obsv, mesh)
+            init_dones = shard_batch(init_dones, mesh)
+            hstates = shard_batch(hstates, mesh)
+
+        runner_state = (tuple(train_states), env_state, obsv, init_dones,
+                        hstates, rng)
+        metrics_history = []
+        ckpt = None
+        if cfg.checkpoint_dir:
+            from vit_marl_tpu.rl.checkpoint import CheckpointManager
+            ckpt = CheckpointManager(cfg.checkpoint_dir,
+                                     max_to_keep=cfg.checkpoint_max_to_keep)
+        for u in range(num_updates):
+            runner_state, metrics = update_jit(runner_state, u)
+            logger.log(jax.device_get(metrics))
+            metrics_history.append(jax.device_get(metrics))
+            if ckpt is not None:
+                ckpt.save(u, [ts.params for ts in runner_state[0]],
+                          metrics=metrics_history[-1])
+        if ckpt is not None:
+            ckpt.close()
+        return {"runner_state": runner_state, "metrics": metrics_history,
+                "networks": networks}
+
+    return train
