@@ -42,6 +42,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vit_marl_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vit_marl_tpu.config import (
         ExecutionConfig,
         MarketMakingConfig,

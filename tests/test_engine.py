@@ -44,7 +44,8 @@ def make_book(cfg, asks=None, bids=None, trades=None):
         b = b.replace(bids=bk.side_from_dense(_pad(bids, cfg.n_orders, 6)))
     if trades is not None:
         b = b.replace(trades=_pad(trades, cfg.n_trades, 8))
-    return b
+    # engine precondition: sorted-prefix invariant
+    return bk.canonicalize_book(b)
 
 
 def msg(type_, side, quant, price, oid=-300, tid=-300, ts=34_201, tns=0):
@@ -232,18 +233,18 @@ def run_both(cfg, msgs, asks, bids, trades):
     b = make_book(cfg, asks, bids, trades)
     b = engine.process_messages(cfg, KEY, jnp.asarray(np.array(msgs), jnp.int32), b)
     oracle = OracleBook(cfg)
-    oracle.asks[:] = asks
-    oracle.bids[:] = bids
-    oracle.trades[:] = trades
+    oracle.load_dense(asks, bids, trades)
     oracle.process_all(msgs)
     return b, oracle
 
 
 def assert_equal_books(vec, oracle):
     np.testing.assert_array_equal(
-        np.asarray(bk.side_to_dense(vec.asks), dtype=np.int64), oracle.asks)
+        np.asarray(bk.side_to_dense(vec.asks), dtype=np.int64),
+        oracle.dense(oracle.asks))
     np.testing.assert_array_equal(
-        np.asarray(bk.side_to_dense(vec.bids), dtype=np.int64), oracle.bids)
+        np.asarray(bk.side_to_dense(vec.bids), dtype=np.int64),
+        oracle.dense(oracle.bids))
     np.testing.assert_array_equal(
         np.asarray(vec.trades, dtype=np.int64), oracle.trades)
 

@@ -17,6 +17,8 @@ from vit_marl_tpu.lob.book import (  # noqa: F401
     init_trades,
     side_to_dense,
     side_from_dense,
+    sort_side,
+    canonicalize_book,
     best_ask,
     best_bid,
     best_bid_and_ask,

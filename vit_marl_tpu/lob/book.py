@@ -59,6 +59,33 @@ class BookState:
     trades: Array   # (n_trades, 8) int32, -1-filled when empty
 
 
+def sort_side(side: SideState, is_bid: bool) -> SideState:
+    """Canonicalise an arbitrary side layout into the engine's sorted-prefix
+    invariant: occupied slots first, ordered by price-time priority
+    (ascending price for asks / descending for bids, then time_s, time_ns,
+    then original slot index).  Off the hot path — used once when ingesting
+    external book states; the engine maintains the invariant incrementally.
+    """
+    occupied = side.price != EMPTY_SLOT
+    inel = (~occupied).astype(jnp.int32)
+    price_key = jnp.where(is_bid, -side.price, side.price)
+    slot = jnp.arange(side.n, dtype=jnp.int32)
+    (_, _, _, _, _, p, q, o, t, ts, tns) = jax.lax.sort(
+        (inel, price_key, side.time_s, side.time_ns, slot,
+         side.price, side.quant, side.oid, side.tid, side.time_s,
+         side.time_ns),
+        num_keys=5)
+    wipe = lambda v: jnp.where(jnp.sort(inel) == 1, EMPTY_SLOT, v)
+    return SideState(price=wipe(p), quant=wipe(q), oid=wipe(o), tid=wipe(t),
+                     time_s=wipe(ts), time_ns=wipe(tns))
+
+
+def canonicalize_book(book: "BookState") -> "BookState":
+    """Apply :func:`sort_side` to both sides of a book."""
+    return book.replace(asks=sort_side(book.asks, is_bid=False),
+                        bids=sort_side(book.bids, is_bid=True))
+
+
 def init_side(n_orders: int) -> SideState:
     """All-empty side (ref: JaxOrderBookArrays.py:901-911)."""
     empty = jnp.full((n_orders,), EMPTY_SLOT, dtype=jnp.int32)

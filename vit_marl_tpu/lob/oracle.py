@@ -1,29 +1,28 @@
-"""Slow sequential numpy oracle of the matching-engine semantics.
+"""Slow sequential numpy oracle of the sorted-book engine semantics.
 
 Used *only* by the test suite to differentially validate the vectorized
-engine in :mod:`vit_marl_tpu.lob.engine`.  Implements, step by step, the
-behaviour documented for the reference engine
-(ref: gymnax_exchange/jaxob/JaxOrderBookArrays.py):
+engine in :mod:`vit_marl_tpu.lob.engine`.  Implements, order by order, the
+behaviour documented there (which matches the reference engine,
+ref: gymnax_exchange/jaxob/JaxOrderBookArrays.py, modulo the three
+documented slot-layout divergences):
 
-- per-message dispatch on (side, type) with MATCH->opposite-limit and
-  DELETE->CANCEL rewrites (GENERAL_EXCHANGE);
-- matching loop: repeatedly take the best opposite order (best price, then
-  earliest time_s/time_ns, then lowest slot index) while the price crosses
-  and unmatched quantity remains; record one trade row per matched order;
+- each side is a list of orders kept sorted by price-time priority
+  (ascending price for asks / descending for bids, then time_s, time_ns,
+  then arrival order);
+- limit orders fill against the crossing prefix of the opposite side, one
+  trade row per matched order, remainder rests at its priority position;
+  a full side drops the worst order to admit the new one;
 - trade rows ``[p, -side*q, pass_oid, agr_oid, t_s, t_ns, pass_tid,
-  agr_tid]`` written at the first empty trade slot, with the reference's
-  index-wrap overwrite of the last row when the log is full;
-- remainder added at the first empty slot (index-wrap overwrite when full);
-- cancels: strict-oid -> init-order-at-price -> (not modelled: random)
-  fallback; a complete miss decrements the last slot (index wrap);
-- any slot with quantity <= 0 is emptied entirely.
+  agr_tid]`` append at the running count; on overflow the final slot keeps
+  the last-matched trade;
+- cancels: strict-oid -> init-order-at-price (enough quantity) fallback;
+  a complete miss is a no-op;
+- MATCH(4) messages act as opposite-side limits, DELETE(3) as CANCEL(2).
 
-Deterministic cancel modes (STRICT_BY_ID, INCLUDE_INITS) are modelled
-exactly; CANCEL_UNIFORM's random stage is out of scope here (covered by
-statistical tests instead).
+Deterministic cancel modes (STRICT_BY_ID, INCLUDE_INITS) are modelled;
+CANCEL_UNIFORM's random stage is covered by statistical tests instead.
 
-This file is intentionally plain Python/numpy with O(n) scans — clarity
-over speed.
+Plain Python lists and loops — clarity over speed.
 """
 
 from __future__ import annotations
@@ -36,95 +35,111 @@ EMPTY = -1
 
 
 class OracleBook:
-    """Mutable sequential order book, reference layout (n, 6) per side."""
+    """Sequential sorted order book; dense views match the engine layout."""
 
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
-        self.asks = np.full((cfg.n_orders, 6), EMPTY, dtype=np.int64)
-        self.bids = np.full((cfg.n_orders, 6), EMPTY, dtype=np.int64)
+        self.asks: list = []   # each order: [price, quant, oid, tid, ts, tns]
+        self.bids: list = []
         self.trades = np.full((cfg.n_trades, 8), EMPTY, dtype=np.int64)
+        self.trade_count = 0
 
-    # -- helpers ----------------------------------------------------------
+    # -- layout ----------------------------------------------------------
 
-    @staticmethod
-    def _remove_nonpositive(side: np.ndarray) -> None:
-        dead = side[:, 1] <= 0
-        side[dead, :] = EMPTY
+    def load_dense(self, asks: np.ndarray, bids: np.ndarray,
+                   trades: np.ndarray) -> None:
+        """Ingest reference-layout arrays (sorted on entry, like the
+        engine's ``sort_side`` canonicalisation)."""
+        def rows(arr, is_bid):
+            occ = [list(map(int, r)) for r in arr if r[0] != EMPTY]
+            sign = -1 if is_bid else 1
+            occ.sort(key=lambda r: (sign * r[0], r[4], r[5]))
+            return occ
+        self.asks = rows(asks, False)
+        self.bids = rows(bids, True)
+        self.trades[:] = trades
+        self.trade_count = int((trades[:, 0] != EMPTY).sum())
 
-    def _best_idx(self, side: np.ndarray, is_bid: bool) -> int:
-        """Best-order slot: price, then time_s, then time_ns, then index."""
-        prices = side[:, 0].copy()
-        if is_bid:
-            key_p = -prices  # max price first
-        else:
-            key_p = np.where(prices == EMPTY, self.cfg.maxint, prices)
-        best_p = key_p.min()
-        cand = key_p == best_p
-        t = np.where(cand, side[:, 4], self.cfg.maxint)
-        best_t = t.min()
-        cand &= t == best_t
-        tns = np.where(cand, side[:, 5], self.cfg.maxint)
-        best_tns = tns.min()
-        cand &= tns == best_tns
-        return int(np.argmax(cand))
+    def dense(self, side) -> np.ndarray:
+        arr = np.full((self.cfg.n_orders, 6), EMPTY, dtype=np.int64)
+        for i, row in enumerate(side):
+            arr[i] = row
+        return arr
 
-    def _add_trade(self, row) -> None:
-        empty = np.where(self.trades[:, 0] == EMPTY)[0]
-        # Index wrap on overflow: the reference's ``.at[-1]`` write.
-        idx = int(empty[0]) if len(empty) else self.cfg.n_trades - 1
-        self.trades[idx] = row
+    # -- helpers ---------------------------------------------------------
 
-    def _add_order(self, side: np.ndarray, price, quant, oid, tid, ts, tns) -> None:
-        empty = np.where(side[:, 0] == EMPTY)[0]
-        idx = int(empty[0]) if len(empty) else self.cfg.n_orders - 1
-        side[idx] = [price, max(0, quant), oid, tid, ts, tns]
-        self._remove_nonpositive(side)
+    def _add_trade_batch(self, rows) -> None:
+        """Append rows at trade_count with overflow-last-wins semantics."""
+        cap = self.cfg.n_trades
+        n_new = len(rows)
+        overflow = self.trade_count + n_new > cap
+        for i, row in enumerate(rows):
+            target = self.trade_count + i
+            last = i == n_new - 1
+            if overflow:
+                if target < cap - 1:
+                    self.trades[target] = row
+                elif last:
+                    self.trades[cap - 1] = row
+            elif target < cap:
+                self.trades[target] = row
+        self.trade_count = min(self.trade_count + n_new, cap)
 
-    # -- operations -------------------------------------------------------
+    def _insert(self, side, is_bid, order) -> None:
+        if order[1] <= 0:
+            return
+        sign = -1 if is_bid else 1
+        key = (sign * order[0], order[4], order[5])
+        pos = 0
+        for r in side:
+            if (sign * r[0], r[4], r[5]) <= key:
+                pos += 1
+            else:
+                break
+        if len(side) == self.cfg.n_orders:
+            side.pop()                     # drop worst on overflow
+            pos = min(pos, self.cfg.n_orders - 1)
+        side.insert(pos, list(order))
 
-    def _limit(self, opp: np.ndarray, same: np.ndarray, opp_is_ask: bool,
-               price, quant, oid, tid, ts, tns, raw_side) -> None:
+    # -- operations ------------------------------------------------------
+
+    def _limit(self, opp, same, opp_is_ask, price, quant, oid, tid, ts, tns,
+               raw_side) -> None:
         qtm = quant
-        while qtm > 0:
-            i = self._best_idx(opp, is_bid=not opp_is_ask)
-            p = opp[i, 0]
-            if p == EMPTY:
+        trades = []
+        while qtm > 0 and opp:
+            top = opp[0]
+            crosses = top[0] <= price if opp_is_ask else top[0] >= price
+            if not crosses:
                 break
-            if opp_is_ask and not (p <= price):
-                break
-            if (not opp_is_ask) and not (p >= price):
-                break
-            standing_q = opp[i, 1]
-            newq = max(0, standing_q - qtm)
-            fill = standing_q - newq
-            self._add_trade([p, -raw_side * fill, opp[i, 2], oid, ts, tns,
-                             opp[i, 3], tid])
-            opp[i, 1] = newq
-            self._remove_nonpositive(opp)
-            qtm -= standing_q
-        self._add_order(same, price, qtm, oid, tid, ts, tns)
+            fill = min(top[1], qtm)
+            trades.append([top[0], -raw_side * fill, top[2], oid, ts, tns,
+                           top[3], tid])
+            top[1] -= fill
+            qtm -= fill
+            if top[1] <= 0:
+                opp.pop(0)
+        self._add_trade_batch(trades)
+        # opp is the ask side <=> the remainder rests on the bid side
+        self._insert(same, opp_is_ask, [price, qtm, oid, tid, ts, tns])
 
-    def _cancel(self, side: np.ndarray, price, quant, oid) -> None:
-        match = np.where(side[:, 2] == oid)[0]
-        idx = int(match[0]) if len(match) else -1
+    def _cancel(self, side, price, quant, oid) -> None:
+        idx = next((i for i, r in enumerate(side) if r[2] == oid), -1)
         if idx == -1 and self.cfg.cancel_mode >= CancelMode.INCLUDE_INITS:
-            m2 = ((side[:, 0] == price) & (side[:, 2] <= self.cfg.init_id)
-                  & (side[:, 1] >= quant))
-            w = np.where(m2)[0]
-            idx = int(w[0]) if len(w) else -1
-        # Index wrap: complete miss decrements the last slot.
+            idx = next((i for i, r in enumerate(side)
+                        if r[0] == price and r[2] <= self.cfg.init_id
+                        and r[1] >= quant), -1)
         if idx == -1:
-            idx = self.cfg.n_orders - 1
-        side[idx, 1] -= quant
-        self._remove_nonpositive(side)
+            return                          # miss -> no-op
+        side[idx][1] -= quant
+        if side[idx][1] <= 0:
+            side.pop(idx)
 
     def process(self, msg) -> None:
-        """Apply one (8,) message: [type, side, quant, price, oid, tid, s, ns]."""
         t, s, quant, price, oid, tid, ts, tns = [int(x) for x in msg]
         if (s == 0) and (t == 0):
             return
         if ((s == 1) and (t == 1)) or ((s == -1) and (t == 4)):
-            # bid limit: match against asks, remainder to bids
             self._limit(self.asks, self.bids, True, price, quant, oid, tid,
                         ts, tns, s)
         elif (s == -1) and (t in (2, 3)):
@@ -132,7 +147,6 @@ class OracleBook:
         elif (s == 1) and (t in (2, 3)):
             self._cancel(self.bids, price, quant, oid)
         else:
-            # default branch 0 of the reference's index arithmetic: ask limit
             self._limit(self.bids, self.asks, False, price, quant, oid, tid,
                         ts, tns, s)
 
