@@ -239,11 +239,14 @@ def run_both(cfg, msgs, asks, bids, trades):
 
 
 def assert_equal_books(vec, oracle):
+    # the engine's arena may contain holes; compare canonical sorted layouts
     np.testing.assert_array_equal(
-        np.asarray(bk.side_to_dense(vec.asks), dtype=np.int64),
+        np.asarray(bk.side_to_dense(bk.sort_side(vec.asks, is_bid=False)),
+                   dtype=np.int64),
         oracle.dense(oracle.asks))
     np.testing.assert_array_equal(
-        np.asarray(bk.side_to_dense(vec.bids), dtype=np.int64),
+        np.asarray(bk.side_to_dense(bk.sort_side(vec.bids, is_bid=True)),
+                   dtype=np.int64),
         oracle.dense(oracle.bids))
     np.testing.assert_array_equal(
         np.asarray(vec.trades, dtype=np.int64), oracle.trades)

@@ -8,25 +8,30 @@ price-time priority per matching iteration inside a data-dependent
 multi-key ``lax.sort`` — correct, but a 5-key variadic sort lowers to
 hundreds of serial comparator stages on TPU and dominated the step time.
 
-The production design instead maintains an *invariant*:
+The production design instead maintains a *sorted-arena invariant*:
 
-    occupied slots form a contiguous prefix [0, count), sorted by
-    price-time priority — ascending price for asks, descending for bids,
-    ties by earlier (time_s, time_ns), then by arrival order.
+    slot order equals price-time priority order among occupied slots —
+    ascending price for asks, descending for bids, ties by earlier
+    (time_s, time_ns), then by arrival order.  Empty slots ("holes") may
+    appear anywhere; they are created by fills/cancels and recycled by
+    inserts.
 
-Under the invariant every operation is O(n) lane-wise vector work:
+Holes are the key to TPU speed: removing an order is a masked wipe with
+*zero data movement*, and insertion reuses the nearest hole inside the
+priority gap (the common case — no movement either) or shifts a segment by
+exactly one slot (two static rolls + selects; never a dynamic-distance
+shift, which lowers to per-env gathers and is ~100x slower on TPU).
 
-- **Matching**: the crossing orders are a *prefix* of the opposite side, so
-  per-order fills are ``clip(Q - exclusive_cumsum(q), 0, q)`` on that
-  prefix; fully-filled orders are removed with one shift-left.
-- **Insertion**: the resting remainder's position is a masked count of
-  better-priority orders; insertion is one roll + two selects per field.
-- **Cancel**: a masked argmax lookup, one decrement, one conditional
-  shift-left.
-- **Trade log**: appends at ``trade_count`` (a derived prefix count), no
-  empty-slot searches.
+- **Matching**: fills are ``clip(Q - exclusive_cumsum(q), 0, q)`` over the
+  crossing mask (hole-insensitive); fully-filled slots are wiped.
+- **Insertion**: place into a hole between the last better and first worse
+  occupied slot, else shift one slot toward the nearest hole (dropping the
+  worst order if the side is truly full).
+- **Cancel**: masked lookup, decrement, wipe when empty.
+- **Trade log**: appends at the occupied count, no empty-slot searches.
 
-No sorts, no (n, n) intermediates, no data-dependent control flow.  Message
+No sorts, no (n, n) intermediates, no data-dependent control flow, no
+dynamic-distance data movement.  Message
 dispatch stays a set of masks from the reference's (side, type) index
 arithmetic, combined with lane-wise selects (all "branches" execute).
 
@@ -91,61 +96,82 @@ def _map_side(fn, side: SideState) -> SideState:
                      time_s=fn(side.time_s), time_ns=fn(side.time_ns))
 
 
-def _shift_left(side: SideState, k: Array, count: Array) -> SideState:
-    """Drop the first ``k`` orders of the occupied prefix (they filled)."""
-    idx = _slot_iota(side.n)
-    keep = idx < count - k
-
-    def move(x):
-        return jnp.where(keep, jnp.roll(x, -k), EMPTY_SLOT)
-
-    return _map_side(move, side)
+def _wipe(side: SideState, mask: Array) -> SideState:
+    """Turn masked slots into holes (no data movement)."""
+    return _map_side(lambda x: jnp.where(mask, EMPTY_SLOT, x), side)
 
 
-def _remove_at(side: SideState, pos: Array, count: Array) -> SideState:
-    """Remove the order at sorted position ``pos`` (< count)."""
-    idx = _slot_iota(side.n)
-
-    def move(x):
-        return jnp.where(idx < pos, x,
-                         jnp.where(idx < count - 1, jnp.roll(x, -1),
-                                   EMPTY_SLOT))
-
-    return _map_side(move, side)
-
-
-def _insert_at(side: SideState, pos: Array, price, quant, oid, tid,
-               time_s, time_ns) -> SideState:
-    """Insert a new order at sorted position ``pos``, shifting worse orders
-    down; the worst order falls off the end on overflow."""
-    idx = _slot_iota(side.n)
-
-    def put(x, val):
-        return jnp.where(idx < pos, x,
-                         jnp.where(idx == pos, val, jnp.roll(x, 1)))
-
-    return SideState(price=put(side.price, price),
-                     quant=put(side.quant, quant),
-                     oid=put(side.oid, oid), tid=put(side.tid, tid),
-                     time_s=put(side.time_s, time_s),
-                     time_ns=put(side.time_ns, time_ns))
-
-
-def _count(side: SideState) -> Array:
-    return jnp.sum((side.price != EMPTY_SLOT).astype(jnp.int32))
-
-
-def _insert_pos(side: SideState, occupied: Array, opp_is_ask: Array,
-                price, time_s, time_ns) -> Array:
-    """Number of existing orders with priority <= the new order
-    (lexicographic on price-key, time_s, time_ns; ties keep existing)."""
-    price_key = jnp.where(opp_is_ask, side.price, -side.price)
-    new_key = jnp.where(opp_is_ask, price, -price)
+def _priority_before(side: SideState, occupied: Array, side_is_ask: Array,
+                     price, time_s, time_ns) -> Array:
+    """Occupied slots whose priority is <= the new order's (ties keep the
+    existing order first)."""
+    price_key = jnp.where(side_is_ask, side.price, -side.price)
+    new_key = jnp.where(side_is_ask, price, -price)
     before = (price_key < new_key) | (
         (price_key == new_key) & (
             (side.time_s < time_s) | (
                 (side.time_s == time_s) & (side.time_ns <= time_ns))))
-    return jnp.sum((before & occupied).astype(jnp.int32))
+    return before & occupied
+
+
+def _insert_sorted(side: SideState, side_is_ask: Array, price, quant, oid,
+                   tid, time_s, time_ns) -> SideState:
+    """Insert an order at its priority position in the sorted arena.
+
+    Case A: a hole exists between the last better and first worse occupied
+    slot -> write it there (no movement).  Case B: shift the worse segment
+    right by one into the first hole after it (or off the end when full,
+    dropping the worst order).  Case C: shift the better segment left by
+    one into the last hole before it.
+    """
+    n = side.n
+    idx = _slot_iota(n)
+    occupied = side.price != EMPTY_SLOT
+    hole = ~occupied
+    better = _priority_before(side, occupied, side_is_ask, price, time_s,
+                              time_ns)
+    worse = occupied & ~better
+
+    any_worse = jnp.any(worse)
+    fw = jnp.where(any_worse, jnp.argmax(worse), n)          # first worse
+    any_better = jnp.any(better)
+    lb = jnp.where(any_better,
+                   n - 1 - jnp.argmax(jnp.flip(better)), -1)  # last better
+
+    in_window = hole & (idx > lb) & (idx < fw)
+    case_a = jnp.any(in_window)
+    pos_a = jnp.argmax(in_window)
+
+    hole_after = hole & (idx >= fw)
+    case_b_hole = jnp.any(hole_after)
+    ha = jnp.where(case_b_hole, jnp.argmax(hole_after), n - 1)
+
+    hole_before = hole & (idx <= lb)
+    case_c = jnp.any(hole_before)
+    hb = n - 1 - jnp.argmax(jnp.flip(hole_before))
+
+    # Priority: A (no movement) > B (shift right; also the full-book drop
+    # path) > C (shift left).  B applies when a hole follows fw or the side
+    # is completely full; a full side admits the new order at the worst
+    # slot even when the new order itself is worst (documented divergence 2).
+    use_b = ~case_a & (case_b_hole | ~case_c)
+    fw_b = jnp.where(case_b_hole, fw, jnp.minimum(fw, n - 1))
+
+    def place(x, val):
+        out_a = jnp.where(idx == pos_a, val, x)
+        right = jnp.roll(x, 1)
+        out_b = jnp.where((idx > fw_b) & (idx <= ha), right, x)
+        out_b = jnp.where(idx == fw_b, val, out_b)
+        left = jnp.roll(x, -1)
+        out_c = jnp.where((idx >= hb) & (idx < lb), left, x)
+        out_c = jnp.where(idx == lb, val, out_c)
+        return jnp.where(case_a, out_a, jnp.where(use_b, out_b, out_c))
+
+    return SideState(price=place(side.price, price),
+                     quant=place(side.quant, quant),
+                     oid=place(side.oid, oid), tid=place(side.tid, tid),
+                     time_s=place(side.time_s, time_s),
+                     time_ns=place(side.time_ns, time_ns))
 
 
 # --------------------------------------------------------------------------
@@ -155,6 +181,12 @@ def _insert_pos(side: SideState, occupied: Array, opp_is_ask: Array,
 
 def _limit_pass(cfg, opp, same, trades, trade_count, opp_is_ask, price, quant,
                 oid, tid, time_s, time_ns, raw_side):
+    """One aggressor against ``opp``; remainder rests on ``same``.
+
+    Equivalent to the reference's ``bid_lim``/``ask_lim``
+    (ref: JaxOrderBookArrays.py:356-391, 417-453): slot order IS the
+    while-loop's visit order, so masked prefix sums give identical fills.
+    """
     n = opp.n
     idx = _slot_iota(n)
     occupied = opp.price != EMPTY_SLOT
@@ -167,17 +199,19 @@ def _limit_pass(cfg, opp, same, trades, trade_count, opp_is_ask, price, quant,
     remaining = quant - total_matched
     was_matched = matched > 0
 
-    # ---- trade rows from the (pre-shift) matched prefix ----
+    # ---- trade rows in priority order at trade_count ----
     n_t = trades.shape[0]
-    n_trades_new = jnp.sum(was_matched.astype(jnp.int32))
-    target = trade_count + idx
+    wm_i = was_matched.astype(jnp.int32)
+    n_trades_new = jnp.sum(wm_i)
+    rank = jnp.cumsum(wm_i) - wm_i           # 0-based order among matched
+    target = trade_count + rank
     has_overflow = trade_count + n_trades_new > n_t
-    is_last = was_matched & (idx == n_trades_new - 1)
+    is_last = was_matched & (rank == n_trades_new - 1)
     write = was_matched & jnp.where(has_overflow,
                                     (target < n_t - 1) | is_last,
                                     target < n_t)
     target = jnp.where(is_last, jnp.minimum(target, n_t - 1), target)
-    target = jnp.where(write, target, n_t)
+    target = jnp.where(write, target, n_t)   # out of bounds -> dropped
     rows = jnp.stack([
         opp.price,
         -raw_side * matched,
@@ -191,22 +225,16 @@ def _limit_pass(cfg, opp, same, trades, trade_count, opp_is_ask, price, quant,
     trades = trades.at[target].set(rows, mode="drop")
     trade_count = jnp.minimum(trade_count + n_trades_new, n_t)
 
-    # ---- consume fills on the opposite side ----
-    n_removed = jnp.sum((was_matched & (matched >= q)).astype(jnp.int32))
-    opp_count = _count(opp)
+    # ---- consume fills: partials keep their slot, full fills become holes
     opp = opp.replace(quant=opp.quant - matched)
-    opp = _shift_left(opp, n_removed, opp_count)
+    opp = _wipe(opp, was_matched & (opp.quant <= 0))
 
     # ---- rest the remainder on the same side ----
     add_q = jnp.maximum(0, remaining)
-    same_occ = same.price != EMPTY_SLOT
-    same_count = jnp.sum(same_occ.astype(jnp.int32))
     # opp_is_ask True means the *same* side is the bid side
-    pos = _insert_pos(same, same_occ, ~opp_is_ask, price, time_s, time_ns)
-    inserted = _insert_at(same, jnp.minimum(pos, same.n - 1), price, add_q,
-                          oid, tid, time_s, time_ns)
-    do_insert = add_q > 0
-    same = _select_side(do_insert, inserted, same)
+    inserted = _insert_sorted(same, ~opp_is_ask, price, add_q, oid, tid,
+                              time_s, time_ns)
+    same = _select_side(add_q > 0, inserted, same)
     return opp, same, trades, trade_count
 
 
@@ -255,9 +283,9 @@ def _cancel(cfg: EngineConfig, key: Array, side: SideState, price: Array,
     found = idx >= 0
     pos = jnp.maximum(idx, 0)
     new_q = side.quant[pos] - quant
-    count = _count(side)
+    slots = _slot_iota(side.n)
     decremented = side.replace(quant=side.quant.at[pos].set(new_q))
-    removed = _remove_at(side, pos, count)
+    removed = _wipe(decremented, slots == pos)
     updated = _select_side(new_q <= 0, removed, decremented)
     return _select_side(found, updated, side)
 
