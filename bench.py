@@ -33,6 +33,10 @@ def main():
     p.add_argument("--data-msgs", type=int, default=100)
     p.add_argument("--policy", default="gru",
                    choices=["none", "gru", "vit-tiny", "vit-small", "vit-base"])
+    p.add_argument("--mode", default="loop", choices=["loop", "scan"],
+                   help="loop: Python-dispatched steps (async-pipelined, the "
+                        "realistic serving/training pattern); scan: one fused "
+                        "lax.scan rollout")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
@@ -126,41 +130,47 @@ def main():
             return tuple(hs), acts
         carry0 = tuple(hs)
 
-    def rollout(key, state, obs, carry):
-        def step_fn(loop_state, _):
-            key, state, obs, carry = loop_state
-            key, krng, kstep = jax.random.split(key, 3)
-            carry, acts = policy_actions(carry, obs, krng)
-            step_keys = jax.random.split(kstep, args.envs)
-            obs, state, rew, dones, _ = jax.vmap(
-                env.step, in_axes=(0, 0, [0] * n_types, None))(
-                step_keys, state, acts, params)
-            return (key, state, obs, carry), rew[0].sum()
+    def one_step(loop_state):
+        key, state, obs, carry = loop_state
+        key, krng, kstep = jax.random.split(key, 3)
+        carry, acts = policy_actions(carry, obs, krng)
+        step_keys = jax.random.split(kstep, args.envs)
+        obs, state, rew, dones, _ = jax.vmap(
+            env.step, in_axes=(0, 0, [0] * n_types, None))(
+            step_keys, state, acts, params)
+        return (key, state, obs, carry), rew[0].sum()
 
-        (key, state, obs, carry), rsum = jax.lax.scan(
-            step_fn, (key, state, obs, carry), None, args.steps)
-        return state, obs, carry, rsum.sum()
+    def rollout_scan(loop_state):
+        def step_fn(ls, _):
+            return one_step(ls)
+        ls, rsum = jax.lax.scan(step_fn, loop_state, None, args.steps)
+        return ls, rsum.sum()
 
-    rollout_jit = jax.jit(rollout)
-
-    # compile
-    t0 = time.time()
-    state2, obs2, carry2, _ = jax.block_until_ready(
-        rollout_jit(key, state, obs, carry0))
-    compile_time = time.time() - t0
-
-    # timed
-    t0 = time.time()
-    for r in range(args.reps):
-        state2, obs2, carry2, s = rollout_jit(jax.random.fold_in(key, r),
-                                              state2, obs2, carry2)
-    jax.block_until_ready(s)
+    if args.mode == "scan":
+        rollout_jit = jax.jit(rollout_scan)
+        t0 = time.time()
+        ls, _ = jax.block_until_ready(rollout_jit((key, state, obs, carry0)))
+        compile_time = time.time() - t0
+        t0 = time.time()
+        for r in range(args.reps):
+            ls, s = rollout_jit(ls)
+        jax.block_until_ready(s)
+    else:
+        step_jit = jax.jit(one_step)
+        t0 = time.time()
+        ls, _ = step_jit((key, state, obs, carry0))
+        jax.block_until_ready(ls)
+        compile_time = time.time() - t0
+        t0 = time.time()
+        for r in range(args.reps * args.steps):
+            ls, s = step_jit(ls)
+        jax.block_until_ready(s)
     dt = time.time() - t0
     env_steps = args.envs * args.steps * args.reps
     rate = env_steps / dt
 
     result = {
-        "metric": f"env_steps_per_sec_per_chip[{args.policy}]",
+        "metric": f"env_steps_per_sec_per_chip[{args.policy},{args.mode}]",
         "value": round(rate, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / BASELINE_ENV_STEPS, 4),

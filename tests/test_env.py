@@ -245,3 +245,37 @@ class TestEpisodeSemantics:
                 done_exec = True
                 break
         assert done_exec
+
+
+class TestTokenizedObs:
+    def test_mm_tokenized_obs(self):
+        from vit_marl_tpu.data.tokenizer import DEFAULT_TOKENIZER
+        env = make_env(agents=(
+            MarketMakingConfig(observation_space="messages_tokenized"),
+            ExecutionConfig(action_space="simplest_case",
+                            observation_space="simplest_case",
+                            reward_space="simplest_case")))
+        params = env.default_params
+        obs, state = env.reset(KEY, params)
+        n_tok = env.num_msgs_per_step * 13 + 84
+        assert obs[0].shape == (1, n_tok)
+        actions = [jnp.asarray(1), jnp.asarray(1)]
+        obs2, s2, r, d, i = env.step_env(KEY, state, actions, params)
+        assert obs2[0].shape == (1, n_tok)
+        toks = np.asarray(obs2[0])
+        assert (toks >= 0).all()
+        assert (toks < DEFAULT_TOKENIZER.TOTAL_NUM_TOKENS).all()
+
+    def test_mm_raw_messages_obs(self):
+        env = make_env(agents=(
+            MarketMakingConfig(observation_space="messages"),
+            ExecutionConfig(action_space="simplest_case",
+                            observation_space="simplest_case",
+                            reward_space="simplest_case")))
+        params = env.default_params
+        obs, state = env.reset(KEY, params)
+        assert obs[0].shape == (1, env.num_msgs_per_step, 8)
+        actions = [jnp.asarray(1), jnp.asarray(1)]
+        obs2, *_ = env.step_env(KEY, state, actions, params)
+        # step obs contains the actual combined message stream
+        assert np.abs(np.asarray(obs2[0])).sum() > 0

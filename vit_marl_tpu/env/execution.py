@@ -58,8 +58,8 @@ class ExecutionAgent:
         )
         return params, next_start
 
-    def reset(self, params_i: ExecParams, key: Array, world: WorldState
-              ) -> Tuple[Array, ExecState]:
+    def reset(self, params_i: ExecParams, key: Array, world: WorldState,
+              num_msgs_per_step: int = 0) -> Tuple[Array, ExecState]:
         """(ref: vision_env.py:420-477)"""
         if self.cfg.task == "random":
             is_sell = jax.random.randint(key, (), 0, 2)

@@ -53,13 +53,19 @@ class MarketMakingAgent:
         )
         return params, next_start
 
-    def reset(self, params_i: MMParams, key: Array, world: WorldState
-              ) -> Tuple[Array, MMState]:
+    def reset(self, params_i: MMParams, key: Array, world: WorldState,
+              num_msgs_per_step: int) -> Tuple[Array, MMState]:
         """(ref: mm_env.py:407-448)"""
         state = MMState(inventory=jnp.int32(0), total_PnL=jnp.float32(0.0),
                         cash_balance=jnp.float32(0.0))
-        obs = self.get_observation(world, state, params_i, None, world.time,
-                                   world.mid_price, None,
+        if self.cfg.observation_space in ("messages", "messages_tokenized"):
+            # blank message window + current L2 at reset (ref: mm_env.py:421-434)
+            blank = jnp.zeros((num_msgs_per_step, 8), jnp.int32)
+            lob_before = bk.get_l2_state(self.wcfg, 10, world.asks, world.bids)
+        else:
+            blank, lob_before = None, None
+        obs = self.get_observation(world, state, params_i, blank, world.time,
+                                   world.mid_price, lob_before,
                                    self.cfg.normalize, True)
         return obs, state
 
@@ -556,6 +562,17 @@ class MarketMakingAgent:
         if self.cfg.observation_space == "messages":
             # raw message stream (zeros at reset), (ref: mm_env.py:2425-2427)
             return jnp.asarray(total_messages, jnp.int32)
+        if self.cfg.observation_space == "messages_tokenized":
+            # (ref: mm_env.py:2429-2564; the reference's variant cannot run —
+            # its token-vocabulary import is commented out at mm_env.py:126)
+            from vit_marl_tpu.data.tokenizer import (
+                DEFAULT_TOKENIZER,
+                tokenize_observation,
+            )
+            return tokenize_observation(
+                DEFAULT_TOKENIZER, jnp.asarray(total_messages, jnp.int32),
+                world.best_bids, world.best_asks, old_mid_price,
+                lob_state_before, world.time)
         raise ValueError(
             f"invalid observation_space {self.cfg.observation_space!r}")
 
@@ -590,4 +607,9 @@ class MarketMakingAgent:
             n = self.cfg.num_messages + self.wcfg.n_data_msg_per_step
             return spaces.Box(-self.wcfg.maxint, self.wcfg.maxint, (n, 8),
                               jnp.int32)
+        if o == "messages_tokenized":
+            from vit_marl_tpu.data.tokenizer import DEFAULT_TOKENIZER
+            n = self.cfg.num_messages + self.wcfg.n_data_msg_per_step
+            return spaces.Box(0, DEFAULT_TOKENIZER.TOTAL_NUM_TOKENS - 1,
+                              (n * 13 + 84,), jnp.int32)
         raise ValueError(o)

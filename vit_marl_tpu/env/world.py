@@ -118,7 +118,8 @@ class WorldEnv:
                                     agent_keys, self.n_per_type):
             # NOTE: one key per *type* (all instances share it), matching the
             # reference's vmap in_axes (ref: marl_env.py:217).
-            obs, st = jax.vmap(agent.reset, in_axes=(0, None, None))(ap, ak, world)
+            obs, st = jax.vmap(agent.reset, in_axes=(0, None, None, None))(
+                ap, ak, world, self.num_msgs_per_step)
             obs_list.append(obs)
             state_list.append(st)
         return obs_list, MultiAgentState(world=world, agents=tuple(state_list))
@@ -131,6 +132,14 @@ class WorldEnv:
         """(ref: marl_env.py:241-662)"""
         wcfg = self.wcfg
         world = state.world
+
+        # (A) pre-step L2 snapshot for message-based observation spaces
+        # (ref: marl_env.py:254-263)
+        needs_lob_before = any(
+            getattr(a.cfg, "observation_space", "") in
+            ("messages", "messages_tokenized") for a in self.agent_types)
+        lob_state_before = (bk.get_l2_state(wcfg, 10, world.asks, world.bids)
+                            if needs_lob_before else None)
 
         # (B) data messages
         data_msgs = env_base.get_data_messages(
@@ -240,7 +249,7 @@ class WorldEnv:
                 agent.get_observation,
                 in_axes=(None, 0, 0, None, None, None, None, None, None))(
                 new_world, new_agent_states[i], params.agents[i], combined,
-                old_time, old_mid, None, agent.cfg.normalize, True)
+                old_time, old_mid, lob_state_before, agent.cfg.normalize, True)
             mask = jnp.logical_and(dones_list[i], jnp.logical_not(done_all))
 
             def apply_mask(o):

@@ -179,41 +179,34 @@ def _insert_sorted(side: SideState, side_is_ask: Array, price, quant, oid,
 # --------------------------------------------------------------------------
 
 
-def _limit_pass(cfg, opp, same, trades, trade_count, opp_is_ask, price, quant,
-                oid, tid, time_s, time_ns, raw_side):
+def _limit_pass(cfg, opp, same, opp_is_ask, price, quant, oid, tid, time_s,
+                time_ns, raw_side):
     """One aggressor against ``opp``; remainder rests on ``same``.
 
     Equivalent to the reference's ``bid_lim``/``ask_lim``
     (ref: JaxOrderBookArrays.py:356-391, 417-453): slot order IS the
     while-loop's visit order, so masked prefix sums give identical fills.
+
+    Returns the updated sides plus per-slot *match records* — full trade
+    rows for matched slots (invalid rows marked price=-1).  Records are NOT
+    scattered into a trade log here: TPU scatters with computed indices are
+    ~30x the cost of the entire rest of the message; instead the scan
+    drivers stack records per message (plain stores) and
+    :func:`finalize_trade_log` builds the capped log once per scan with a
+    gather.
     """
     n = opp.n
-    idx = _slot_iota(n)
     occupied = opp.price != EMPTY_SLOT
     crossing = occupied & jnp.where(opp_is_ask, opp.price <= price,
                                     opp.price >= price)
     q = jnp.where(crossing, opp.quant, 0)
     cum_before = jnp.cumsum(q) - q
     matched = jnp.where(crossing, jnp.clip(quant - cum_before, 0, q), 0)
-    total_matched = jnp.sum(matched)
-    remaining = quant - total_matched
+    remaining = quant - jnp.sum(matched)
     was_matched = matched > 0
 
-    # ---- trade rows in priority order at trade_count ----
-    n_t = trades.shape[0]
-    wm_i = was_matched.astype(jnp.int32)
-    n_trades_new = jnp.sum(wm_i)
-    rank = jnp.cumsum(wm_i) - wm_i           # 0-based order among matched
-    target = trade_count + rank
-    has_overflow = trade_count + n_trades_new > n_t
-    is_last = was_matched & (rank == n_trades_new - 1)
-    write = was_matched & jnp.where(has_overflow,
-                                    (target < n_t - 1) | is_last,
-                                    target < n_t)
-    target = jnp.where(is_last, jnp.minimum(target, n_t - 1), target)
-    target = jnp.where(write, target, n_t)   # out of bounds -> dropped
     rows = jnp.stack([
-        opp.price,
+        jnp.where(was_matched, opp.price, EMPTY_SLOT),
         -raw_side * matched,
         opp.oid,
         jnp.full((n,), oid, jnp.int32),
@@ -222,20 +215,47 @@ def _limit_pass(cfg, opp, same, trades, trade_count, opp_is_ask, price, quant,
         opp.tid,
         jnp.full((n,), tid, jnp.int32),
     ], axis=1).astype(jnp.int32)
-    trades = trades.at[target].set(rows, mode="drop")
-    trade_count = jnp.minimum(trade_count + n_trades_new, n_t)
 
-    # ---- consume fills: partials keep their slot, full fills become holes
+    # consume fills: partials keep their slot, full fills become holes
     opp = opp.replace(quant=opp.quant - matched)
     opp = _wipe(opp, was_matched & (opp.quant <= 0))
 
-    # ---- rest the remainder on the same side ----
+    # rest the remainder on the same side
     add_q = jnp.maximum(0, remaining)
     # opp_is_ask True means the *same* side is the bid side
     inserted = _insert_sorted(same, ~opp_is_ask, price, add_q, oid, tid,
                               time_s, time_ns)
     same = _select_side(add_q > 0, inserted, same)
-    return opp, same, trades, trade_count
+    return opp, same, rows
+
+
+def finalize_trade_log(trades0: Array, records: Array) -> Array:
+    """Build the capped trade log from stacked match records.
+
+    ``records``: (n_msgs, slots, 8) rows in match order, invalid rows have
+    price == -1.  Reproduces the per-message append semantics exactly,
+    including the reference's overflow behaviour (the final log slot keeps
+    the *last* trade when the log overflows, matching the repeated
+    ``.at[-1]`` overwrites of ref: JaxOrderBookArrays.py:816-818).
+    One cumsum + searchsorted + gather — no scatters.
+    """
+    cap = trades0.shape[0]
+    flat = records.reshape(-1, records.shape[-1])
+    valid = flat[:, 0] != EMPTY_SLOT
+    cm = jnp.cumsum(valid.astype(jnp.int32))
+    total = cm[-1]
+    tc0 = jnp.sum((trades0[:, 0] != EMPTY_SLOT).astype(jnp.int32))
+
+    t = jnp.arange(cap, dtype=jnp.int32)
+    new_rank = t - tc0
+    src = jnp.searchsorted(cm, new_rank + 1)
+    overflow = total + tc0 > cap
+    last_src = jnp.searchsorted(cm, total)
+    src = jnp.where((t == cap - 1) & overflow, last_src, src)
+    have_new = ((new_rank >= 0) & (new_rank < total)) | (
+        (t == cap - 1) & overflow & (total > 0))
+    gathered = flat[jnp.minimum(src, flat.shape[0] - 1)]
+    return jnp.where(have_new[:, None], gathered, trades0)
 
 
 # --------------------------------------------------------------------------
@@ -295,15 +315,17 @@ def _cancel(cfg: EngineConfig, key: Array, side: SideState, price: Array,
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0,))
-def process_message(cfg: EngineConfig, book: BookState, key: Array,
-                    msg: Array) -> BookState:
-    """Apply one (8,) int32 message.
+def _process_message_core(cfg: EngineConfig, book: BookState, key: Array,
+                          msg: Array) -> Tuple[BookState, Array]:
+    """Core message processor; returns (book-without-new-trades, records).
 
     Replaces ``cond_type_side`` (ref: JaxOrderBookArrays.py:500-566): the
     branch-index arithmetic is identical, but all branches run as masked
-    dense ops combined with selects — uniform work per message, which is
-    what ``vmap``/``scan``/Pallas want.
+    dense identity-passes combined with a minimal number of whole-side
+    selects.  Select-frame trick: for every message kind, the side the
+    cancel targets equals the side the limit remainder rests on (Y below),
+    so one (X, Y) frame serves both passes and only four full-side selects
+    are needed per message.
     """
     t = msg[MsgCol.TYPE]
     s = msg[MsgCol.SIDE]
@@ -323,36 +345,38 @@ def process_message(cfg: EngineConfig, book: BookState, key: Array,
 
     is_bid_lim = index == 1
     is_lim = (index == 0) | is_bid_lim
-    is_ask_cancel = index == 2
     is_bid_cancel = index == 3
-    is_cancel = is_ask_cancel | is_bid_cancel
+    is_cancel = (index == 2) | is_bid_cancel
 
-    trade_count = jnp.sum((book.trades[:, 0] != EMPTY_SLOT).astype(jnp.int32))
+    # Frame: Y is the bid side for bid-limit/bid-cancel messages, the ask
+    # side otherwise; X is the opposite.  The limit pass matches against X
+    # and rests the remainder on Y; the cancel pass targets Y.
+    bid_frame = is_bid_lim | is_bid_cancel
+    X = _select_side(bid_frame, book.asks, book.bids)
+    Y = _select_side(bid_frame, book.bids, book.asks)
 
-    # ---- limit pass (gated by quant mask) ----
-    opp = _select_side(is_bid_lim, book.asks, book.bids)
-    same = _select_side(is_bid_lim, book.bids, book.asks)
-    lim_quant = jnp.where(is_lim, quant, 0)
-    opp2, same2, trades2, _ = _limit_pass(
-        cfg, opp, same, book.trades, trade_count, is_bid_lim, price,
-        lim_quant, oid, tid, time_s, time_ns, s)
-
-    # ---- cancel pass ----
-    cside = _select_side(is_bid_cancel, book.bids, book.asks)
+    # ---- cancel pass (identity unless cancelling: gated oid/quant miss) ----
     c_quant = jnp.where(is_cancel, quant, 0)
     c_oid = jnp.where(is_cancel, oid, jnp.asarray(0, jnp.int32))
-    cside2 = _cancel(cfg, key, cside, price, c_quant, c_oid)
-    cside2 = _select_side(is_cancel, cside2, cside)
+    Y = _cancel(cfg, key, Y, price, c_quant, c_oid)
 
-    # ---- combine ----
-    asks = _select_side(
-        is_lim, _select_side(is_bid_lim, opp2, same2),
-        _select_side(is_ask_cancel, cside2, book.asks))
-    bids = _select_side(
-        is_lim, _select_side(is_bid_lim, same2, opp2),
-        _select_side(is_bid_cancel, cside2, book.bids))
-    trades = jnp.where(is_lim, trades2, book.trades)
-    return BookState(asks=asks, bids=bids, trades=trades)
+    # ---- limit pass (identity unless is_lim: gated quant) ----
+    lim_quant = jnp.where(is_lim, quant, 0)
+    X, Y, rows = _limit_pass(cfg, X, Y, is_bid_lim, price, lim_quant, oid,
+                             tid, time_s, time_ns, s)
+
+    asks = _select_side(bid_frame, X, Y)
+    bids = _select_side(bid_frame, Y, X)
+    return BookState(asks=asks, bids=bids, trades=book.trades), rows
+
+
+@partial(jax.jit, static_argnums=(0,))
+def process_message(cfg: EngineConfig, book: BookState, key: Array,
+                    msg: Array) -> BookState:
+    """Apply one (8,) int32 message (see :func:`_process_message_core`)."""
+    book, rows = _process_message_core(cfg, book, key, msg)
+    trades = finalize_trade_log(book.trades, rows[None])
+    return book.replace(trades=trades)
 
 
 # --------------------------------------------------------------------------
@@ -368,10 +392,11 @@ def process_messages(cfg: EngineConfig, key: Array, msgs: Array,
 
     def step(b, kv):
         k, m = kv
-        return process_message(cfg, b, k, m), None
+        b, rows = _process_message_core(cfg, b, k, m)
+        return b, rows
 
-    book, _ = jax.lax.scan(step, book, (keys, msgs))
-    return book
+    book, records = jax.lax.scan(step, book, (keys, msgs))
+    return book.replace(trades=finalize_trade_log(book.trades, records))
 
 
 @partial(jax.jit, static_argnums=(0, 4))
@@ -384,10 +409,12 @@ def process_messages_save_bidask(cfg: EngineConfig, key: Array, msgs: Array,
 
     def step(b, kv):
         k, m = kv
-        b = process_message(cfg, b, k, m)
-        return b, best_bid_and_ask_incl_quants(cfg, b.asks, b.bids)
+        b, rows = _process_message_core(cfg, b, k, m)
+        return b, (rows, best_bid_and_ask_incl_quants(cfg, b.asks, b.bids))
 
-    book, (asks_seq, bids_seq) = jax.lax.scan(step, book, (keys, msgs))
+    book, (records, (asks_seq, bids_seq)) = jax.lax.scan(
+        step, book, (keys, msgs))
+    book = book.replace(trades=finalize_trade_log(book.trades, records))
     return book, (asks_seq[-n_last:], bids_seq[-n_last:])
 
 
@@ -401,9 +428,11 @@ def process_messages_save_states(cfg: EngineConfig, key: Array, msgs: Array,
 
     def step(b, kv):
         k, m = kv
-        b = process_message(cfg, b, k, m)
-        return b, (b.asks, b.bids)
+        b, rows = _process_message_core(cfg, b, k, m)
+        return b, (rows, (b.asks, b.bids))
 
-    book, (asks_seq, bids_seq) = jax.lax.scan(step, book, (keys, msgs))
+    book, (records, (asks_seq, bids_seq)) = jax.lax.scan(
+        step, book, (keys, msgs))
+    trades = finalize_trade_log(book.trades, records)
     take = lambda side: jax.tree.map(lambda v: v[-n_last:], side)
-    return take(asks_seq), take(bids_seq), book.trades
+    return take(asks_seq), take(bids_seq), trades
