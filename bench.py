@@ -65,6 +65,7 @@ def main():
     wcfg = WorldConfig(
         n_data_msg_per_step=args.data_msgs, ep_type="fixed_steps",
         episode_time=50, start_resolution=50,
+        n_orders=128, n_trades=128,  # tile-aligned: enables the Pallas engine
         n_messages_per_synthetic_day=max(30_000, args.data_msgs * 60 * 4))
     ma = MultiAgentConfig(
         world=wcfg,
@@ -130,14 +131,13 @@ def main():
             return tuple(hs), acts
         carry0 = tuple(hs)
 
+    print(f"# pallas engine: {env.pallas_ok}", file=sys.stderr)
+
     def one_step(loop_state):
         key, state, obs, carry = loop_state
         key, krng, kstep = jax.random.split(key, 3)
         carry, acts = policy_actions(carry, obs, krng)
-        step_keys = jax.random.split(kstep, args.envs)
-        obs, state, rew, dones, _ = jax.vmap(
-            env.step, in_axes=(0, 0, [0] * n_types, None))(
-            step_keys, state, acts, params)
+        obs, state, rew, dones, _ = env.step_vec(kstep, state, acts, params)
         return (key, state, obs, carry), rew[0].sum()
 
     def rollout_scan(loop_state):

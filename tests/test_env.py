@@ -279,3 +279,45 @@ class TestTokenizedObs:
         obs2, *_ = env.step_env(KEY, state, actions, params)
         # step obs contains the actual combined message stream
         assert np.abs(np.asarray(obs2[0])).sum() > 0
+
+
+class TestStepVec:
+    def test_step_vec_matches_vmapped_step(self, env2p, env2p_params):
+        n_env = 4
+        keys = jax.random.split(KEY, n_env)
+        obs, states = jax.vmap(env2p.reset, in_axes=(0, None))(keys,
+                                                               env2p_params)
+        actions = [jnp.zeros((n_env,), jnp.int32),
+                   jnp.ones((n_env,), jnp.int32)]
+        # step_vec splits its key internally; replicate the same split for
+        # the reference vmapped path
+        key = KEY
+        k, k_step, k_reset = jax.random.split(key, 3)
+        step_keys = jax.random.split(k_step, n_env)
+        reset_keys = jax.random.split(k_reset, n_env)
+
+        o1, s1, r1, d1, i1 = env2p.step_vec(key, states, actions, env2p_params)
+
+        o2, s2, r2, d2, i2 = jax.vmap(
+            env2p.step_env, in_axes=(0, 0, [0, 0], None))(
+            step_keys, states, actions, env2p_params)
+        # no episode ended at step 1, so auto-reset is a no-op
+        assert not bool(np.asarray(d2["__all__"]).any())
+        for a, b in zip(jax.tree.leaves((o1, s1, r1)),
+                        jax.tree.leaves((o2, s2, r2))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_step_vec_rollout(self, env2p, env2p_params):
+        n_env = 4
+        keys = jax.random.split(KEY, n_env)
+        obs, states = jax.vmap(env2p.reset, in_axes=(0, None))(keys,
+                                                               env2p_params)
+        actions = [jnp.zeros((n_env,), jnp.int32),
+                   jnp.ones((n_env,), jnp.int32)]
+        key = KEY
+        for _ in range(12):
+            key, sk = jax.random.split(key)
+            obs, states, rewards, dones, infos = env2p.step_vec(
+                sk, states, actions, env2p_params)
+        assert np.isfinite(np.asarray(rewards[0])).all()

@@ -126,27 +126,22 @@ class WorldEnv:
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
-    def step_env(self, key: Array, state: MultiAgentState, actions: List[Any],
-                 params: MultiAgentParams):
-        """(ref: marl_env.py:241-662)"""
+    def _build_messages(self, key: Array, state: MultiAgentState,
+                        actions: List[Any], params: MultiAgentParams):
+        """Stages A-C: data slice, per-type action/cancel messages, central
+        order-id assignment and shuffle (ref: marl_env.py:241-344)."""
         wcfg = self.wcfg
         world = state.world
-
-        # (A) pre-step L2 snapshot for message-based observation spaces
-        # (ref: marl_env.py:254-263)
         needs_lob_before = any(
             getattr(a.cfg, "observation_space", "") in
             ("messages", "messages_tokenized") for a in self.agent_types)
         lob_state_before = (bk.get_l2_state(wcfg, 10, world.asks, world.bids)
                             if needs_lob_before else None)
 
-        # (B) data messages
         data_msgs = env_base.get_data_messages(
             wcfg, params.world.message_data, world.start_index,
             world.step_counter, world.init_time[0] + wcfg.episode_time)
 
-        # (C) per-type action + cancel messages
         all_action, all_cancel = [], []
         for i, (agent, n) in enumerate(zip(self.agent_types, self.n_per_type)):
             a = actions[i]
@@ -160,8 +155,7 @@ class WorldEnv:
         action_msgs = jnp.vstack(all_action)
         cancel_msgs = jnp.vstack(all_cancel)
 
-        # central order-id assignment: negative decreasing world counter
-        # (ref: marl_env.py:313-324)
+        # central order-id assignment (ref: marl_env.py:313-324)
         n_act = self.num_action_msgs_per_step
         new_ids = jnp.arange(0, -n_act, -1) + world.order_id_counter
         action_msgs = action_msgs.at[:, MsgCol.OID].set(new_ids)
@@ -170,19 +164,21 @@ class WorldEnv:
             key, sk = jax.random.split(key)
             action_msgs = jax.random.permutation(sk, action_msgs, axis=0)
 
-        combined = jnp.concatenate([cancel_msgs, action_msgs, data_msgs], axis=0)
+        combined = jnp.concatenate([cancel_msgs, action_msgs, data_msgs],
+                                   axis=0)
+        return combined, new_id_counter, lob_state_before
 
-        # (D) engine scan with fresh trade log (per-step trades only)
-        book0 = bk.BookState(asks=world.asks, bids=world.bids,
-                             trades=bk.init_trades(wcfg.n_trades))
-        book, (bestasks, bestbids) = engine.process_messages_save_bidask(
-            wcfg, key, combined, book0, self.num_msgs_per_step)
+    def _post_engine(self, state: MultiAgentState, params: MultiAgentParams,
+                     book: bk.BookState, bestasks: Array, bestbids: Array,
+                     combined: Array, lob_state_before, new_id_counter):
+        """Stages E-K: rewards, state updates, dones, infos, observations
+        (ref: marl_env.py:420-662)."""
+        wcfg = self.wcfg
+        world = state.world
         bestasks = ffill_best_prices(bestasks, world.best_asks[-1, 0])
         bestbids = ffill_best_prices(bestbids, world.best_bids[-1, 0])
-
         final_time = combined[-1, -2:]
 
-        # (E) rewards against the OLD world state
         rewards, extras_list = [], []
         for i, agent in enumerate(self.agent_types):
             r, ex = jax.vmap(
@@ -193,7 +189,6 @@ class WorldEnv:
             rewards.append(r)
             extras_list.append(ex)
 
-        # (F) world update
         old_time = world.time
         old_mid = world.mid_price
         new_world = world.replace(
@@ -205,7 +200,6 @@ class WorldEnv:
             delta_time=(final_time[0] + final_time[1] / 1e9
                         - world.time[0] - world.time[1] / 1e9))
 
-        # (G) agent state updates against the NEW world state
         new_agent_states, dones_list, infos_list = [], [], []
         for i, agent in enumerate(self.agent_types):
             st, dn, inf = jax.vmap(
@@ -217,13 +211,10 @@ class WorldEnv:
 
         new_state = MultiAgentState(world=new_world,
                                     agents=tuple(new_agent_states))
-
-        # (I) dones
         all_dones = jnp.concatenate(dones_list)
         done_all = jnp.all(all_dones)
         dones = {"__all__": done_all, "agents": dones_list}
 
-        # (J) info
         world_info = {
             "window_index": new_world.window_index,
             "end_mid_price": new_world.mid_price,
@@ -242,7 +233,6 @@ class WorldEnv:
                                           new_world.bids))
         info = {"world": world_info, "agents": infos_list}
 
-        # (K) observations, zero-masked for done agents (unless all done)
         obs_list = []
         for i, agent in enumerate(self.agent_types):
             obs = jax.vmap(
@@ -259,6 +249,95 @@ class WorldEnv:
             obs_list.append(jax.tree.map(apply_mask, obs))
 
         return obs_list, new_state, rewards, dones, info
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step_env(self, key: Array, state: MultiAgentState, actions: List[Any],
+                 params: MultiAgentParams):
+        """Per-env step (ref: marl_env.py:241-662); vmap-compatible."""
+        wcfg = self.wcfg
+        world = state.world
+        combined, new_id_counter, lob_before = self._build_messages(
+            key, state, actions, params)
+        book0 = bk.BookState(asks=world.asks, bids=world.bids,
+                             trades=bk.init_trades(wcfg.n_trades))
+        book, (bestasks, bestbids) = engine.process_messages_save_bidask(
+            wcfg, key, combined, book0, self.num_msgs_per_step)
+        return self._post_engine(state, params, book, bestasks, bestbids,
+                                 combined, lob_before, new_id_counter)
+
+    # ------------------------------------------------------------------
+    # Batched step: routes the message scan through the fused Pallas
+    # kernel (TPU-only hot path; identical semantics for cancel modes <= 1)
+    # ------------------------------------------------------------------
+
+    @property
+    def pallas_ok(self) -> bool:
+        from vit_marl_tpu.ops.book_kernel import ENV_BLOCK
+        return (self.wcfg.cancel_mode <= 1
+                and self.wcfg.n_orders % 8 == 0
+                and jax.default_backend() == "tpu")
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step_vec(self, key: Array, states: MultiAgentState,
+                 actions: List[Any], params: MultiAgentParams):
+        """Batched auto-resetting step over a leading env axis.
+
+        Pre/post stages vmap over envs; the engine runs as one fused Pallas
+        kernel over the whole batch when eligible (TPU, deterministic cancel
+        modes, batch a multiple of 128), else the vmapped XLA scan.
+        """
+        from vit_marl_tpu.ops.book_kernel import (
+            ENV_BLOCK,
+            finalize_trade_log_from_records,
+            pallas_process_step,
+        )
+
+        wcfg = self.wcfg
+        E = states.world.step_counter.shape[0]
+        key, key_step, key_reset = jax.random.split(key, 3)
+        step_keys = jax.random.split(key_step, E)
+
+        combined, new_id_counter, lob_before = jax.vmap(
+            self._build_messages, in_axes=(0, 0, [0] * len(self.agent_types),
+                                           None))(
+            step_keys, states, actions, params)
+
+        book0 = bk.BookState(
+            asks=states.world.asks, bids=states.world.bids,
+            trades=jnp.broadcast_to(bk.init_trades(wcfg.n_trades),
+                                    (E, wcfg.n_trades, 8)))
+        if self.pallas_ok and E % ENV_BLOCK == 0:
+            book, (bestasks, bestbids), (recs, _counts) = pallas_process_step(
+                wcfg, combined, book0)
+            trades = jax.vmap(finalize_trade_log_from_records)(
+                book0.trades, recs, combined)
+            book = book.replace(trades=trades)
+        else:
+            book, (bestasks, bestbids) = jax.vmap(
+                lambda k, m, b: engine.process_messages_save_bidask(
+                    wcfg, k, m, b, self.num_msgs_per_step))(
+                step_keys, combined, book0)
+
+        obs_st, st_st, rewards, dones, infos = jax.vmap(
+            self._post_engine, in_axes=(0, None, 0, 0, 0, 0,
+                                        0 if lob_before is not None else None,
+                                        0))(
+            states, params, book, bestasks, bestbids, combined, lob_before,
+            new_id_counter)
+
+        # vectorized auto-reset (ref: marl_env.py:737-766)
+        reset_keys = jax.random.split(key_reset, E)
+        obs_re, st_re = jax.vmap(self.reset_env, in_axes=(0, None))(
+            reset_keys, params)
+        done = dones["__all__"]
+
+        def sel(x, y):
+            d = jnp.reshape(done, done.shape + (1,) * (x.ndim - 1))
+            return jnp.where(d, x, y)
+
+        new_states = jax.tree.map(sel, st_re, st_st)
+        obs = jax.tree.map(sel, obs_re, obs_st)
+        return obs, new_states, rewards, dones, infos
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,414 @@
+"""Fused Pallas kernel: a whole step's message scan in VMEM.
+
+The XLA engine (:mod:`vit_marl_tpu.lob.engine`) materializes every
+intermediate of every message to HBM — ~50 buffers per message over a
+112-message step.  This kernel keeps the entire book resident in VMEM
+across the scan and lowers each message to ~100 register-level tile ops:
+
+- layout: slots on sublanes, environments on lanes — every book field is a
+  ``(slots, 128-env)`` int32 tile; per-message fields are ``(1, 128)``
+  row vectors broadcast across slots;
+- matching uses a log-shift prefix sum (``pltpu.roll``), insertion the same
+  hole-arena single-shift scheme as the XLA engine;
+- per-message best bid/ask write to a small VMEM output;
+- per-message match records stream to an HBM output through a
+  double-buffered async DMA, so trade-log construction (one gather) stays
+  outside the kernel (:func:`finalize_trade_log_from_records`).
+
+Semantics are identical to ``engine._process_message_core`` for cancel
+modes STRICT_BY_ID / INCLUDE_INITS (the random-cancel modes keep the XLA
+path).  Differential tests assert bit-equality of final books, best-price
+sequences and trade logs against the XLA engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_marl_tpu.config import CancelMode, EngineConfig, EMPTY_SLOT
+from vit_marl_tpu.lob.book import BookState, SideState
+
+Array = jax.Array
+
+ENV_BLOCK = 128      # environments per kernel instance (lane dimension)
+N_REC_PLANES = 4     # record planes: price, signed quant, passive oid, tid
+
+# field indices inside the stacked (2, 6, slots, E) book tensor
+PRICE, QUANT, OID, TID, TS, TNS = range(6)
+ASK, BID = 0, 1
+
+
+def _prefix_sum(x: Array) -> Array:
+    """Inclusive prefix sum along axis 0 (sublanes) via log-shifts."""
+    n = x.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < n:
+        x = x + jnp.where(idx >= k, pltpu.roll(x, k, 0), 0)
+        k *= 2
+    return x
+
+
+def _first_idx(mask: Array, default: int) -> Array:
+    """(1, E) index of the first True along axis 0, else ``default``."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    return jnp.min(jnp.where(mask, iota, default), axis=0, keepdims=True)
+
+
+def _last_idx(mask: Array, default: int) -> Array:
+    iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    return jnp.max(jnp.where(mask, iota, default), axis=0, keepdims=True)
+
+
+REC_GROUP = 16       # messages per record-DMA (amortises DMA overhead)
+REC_K = 16           # max recorded fills per message (in-kernel compaction)
+
+
+def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int):
+    maxint = cfg.maxint
+    include_inits = cfg.cancel_mode >= CancelMode.INCLUDE_INITS
+    n_groups = (n_msgs + REC_GROUP - 1) // REC_GROUP
+
+    def kernel(msgs_ref, book_in_ref, book_out_ref, bidask_ref, rec_ref,
+               book, rec_stage, send_sems):
+        S = n_slots
+        blk = pl.program_id(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (S, ENV_BLOCK), 0)
+
+        book[...] = book_in_ref[...]
+
+        def msg_body(m, _):
+            msg = msgs_ref[pl.ds(m, 1)].reshape(8, ENV_BLOCK)
+            t = msg[0:1, :]
+            s = msg[1:2, :]
+            quant = msg[2:3, :]
+            price = msg[3:4, :]
+            oid = msg[4:5, :]
+            tid = msg[5:6, :]
+            ts = msg[6:7, :]
+            tns = msg[7:8, :]
+
+            index = ((((s == -1) & (t == 1)) | ((s == 1) & (t == 4))) * 0
+                     + (((s == 1) & (t == 1)) | ((s == -1) & (t == 4))) * 1
+                     + (((s == -1) & (t == 2)) | ((s == -1) & (t == 3))) * 2
+                     + (((s == 1) & (t == 2)) | ((s == 1) & (t == 3))) * 3
+                     + ((s == 0) & (t == 0)) * 4)
+            is_bid_lim = index == 1
+            is_lim = (index == 0) | is_bid_lim
+            is_bid_cancel = index == 3
+            is_cancel = (index == 2) | is_bid_cancel
+            bid_frame = is_bid_lim | is_bid_cancel    # (1, E)
+
+            def read_xy(f):
+                a = book[ASK, f]
+                b = book[BID, f]
+                return jnp.where(bid_frame, a, b), jnp.where(bid_frame, b, a)
+
+            Xp, Yp = read_xy(PRICE)
+            Xq, Yq = read_xy(QUANT)
+            Xo, Yo = read_xy(OID)
+            Xt, Yt = read_xy(TID)
+            Xs, Ys = read_xy(TS)
+            Xn, Yn = read_xy(TNS)
+
+            # ---- cancel pass on Y (identity unless cancelling) ----
+            c_quant = jnp.where(is_cancel, quant, 0)
+            c_oid = jnp.where(is_cancel, oid, 0)
+            idx1 = _first_idx(Yo == c_oid, S)
+            if include_inits:
+                m2 = ((Yp == price) & (Yo <= cfg.init_id) & (Yq >= c_quant)
+                      & (Yp != EMPTY_SLOT))
+                idx2 = _first_idx(m2, S)
+                cidx = jnp.where(idx1 < S, idx1, idx2)
+            else:
+                cidx = idx1
+            found = cidx < S
+            at_pos = iota == cidx
+            q_at = jnp.sum(jnp.where(at_pos, Yq, 0), axis=0, keepdims=True)
+            new_q = q_at - c_quant
+            dec = found & at_pos
+            Yq = jnp.where(dec, new_q, Yq)
+            wipe_c = dec & (new_q <= 0)
+            Yp = jnp.where(wipe_c, EMPTY_SLOT, Yp)
+            Yq = jnp.where(wipe_c, EMPTY_SLOT, Yq)
+            Yo = jnp.where(wipe_c, EMPTY_SLOT, Yo)
+            Yt = jnp.where(wipe_c, EMPTY_SLOT, Yt)
+            Ys = jnp.where(wipe_c, EMPTY_SLOT, Ys)
+            Yn = jnp.where(wipe_c, EMPTY_SLOT, Yn)
+
+            # ---- limit pass: match against X ----
+            lim_quant = jnp.where(is_lim, quant, 0)
+            occupied = Xp != EMPTY_SLOT
+            crossing = occupied & ((bid_frame & (Xp <= price))
+                                   | (~bid_frame & (Xp >= price)))
+            q = jnp.where(crossing, Xq, 0)
+            cum = _prefix_sum(q)
+            matched = jnp.where(crossing,
+                                jnp.clip(lim_quant - (cum - q), 0, q), 0)
+            total_matched = jnp.sum(matched, axis=0, keepdims=True)
+            was = matched > 0
+
+            # records: compact the matched slots to REC_K rank-ordered
+            # rows in VMEM (masked rank-select reduces), staged in groups of
+            # REC_GROUP messages and DMA'd to HBM double-buffered.
+            grp = m // REC_GROUP
+            slot = grp % 2
+            within = m % REC_GROUP
+
+            @pl.when((within == 0) & (grp >= 2))
+            def _():
+                pltpu.make_async_copy(rec_stage.at[slot],
+                                      rec_ref.at[blk, grp - 2],
+                                      send_sems.at[slot]).wait()
+
+            rank = _prefix_sum(was.astype(jnp.int32))     # inclusive
+            n_new = jnp.max(rank, axis=0, keepdims=True)  # fills this msg
+            for k in range(REC_K):
+                sel = was & (rank == k + 1)
+                has_k = k + 1 <= n_new                    # (1, E)
+                p_k = jnp.sum(jnp.where(sel, Xp, 0), axis=0, keepdims=True)
+                q_k = -s * jnp.sum(jnp.where(sel, matched, 0), axis=0,
+                                   keepdims=True)
+                o_k = jnp.sum(jnp.where(sel, Xo, 0), axis=0, keepdims=True)
+                t_k = jnp.sum(jnp.where(sel, Xt, 0), axis=0, keepdims=True)
+                rec_stage[slot, within, 0, k:k + 1] = jnp.where(
+                    has_k, p_k, EMPTY_SLOT)
+                rec_stage[slot, within, 1, k:k + 1] = q_k
+                rec_stage[slot, within, 2, k:k + 1] = o_k
+                rec_stage[slot, within, 3, k:k + 1] = t_k
+
+            @pl.when(within == REC_GROUP - 1)
+            def _():
+                pltpu.make_async_copy(rec_stage.at[slot],
+                                      rec_ref.at[blk, grp],
+                                      send_sems.at[slot]).start()
+
+            Xq = Xq - matched
+            wipe_m = was & (Xq <= 0)
+            Xp = jnp.where(wipe_m, EMPTY_SLOT, Xp)
+            Xq = jnp.where(wipe_m, EMPTY_SLOT, Xq)
+            Xo = jnp.where(wipe_m, EMPTY_SLOT, Xo)
+            Xt = jnp.where(wipe_m, EMPTY_SLOT, Xt)
+            Xs = jnp.where(wipe_m, EMPTY_SLOT, Xs)
+            Xn = jnp.where(wipe_m, EMPTY_SLOT, Xn)
+
+            # ---- insert remainder into Y (hole-arena sorted insert) ----
+            add_q = jnp.maximum(0, lim_quant - total_matched)
+            do_ins = add_q > 0
+            occ_y = Yp != EMPTY_SLOT
+            hole = ~occ_y
+            # Y is the bid side when bid_frame: descending price key
+            pk = jnp.where(bid_frame, -Yp, Yp)
+            nk = jnp.where(bid_frame, -price, price)
+            before = occ_y & ((pk < nk) | ((pk == nk) & (
+                (Ys < ts) | ((Ys == ts) & (Yn <= tns)))))
+            worse = occ_y & ~before
+            fw = _first_idx(worse, S)
+            lb = _last_idx(before, -1)
+            in_win = hole & (iota > lb) & (iota < fw)
+            case_a = jnp.any(in_win, axis=0, keepdims=True)
+            pos_a = _first_idx(in_win, S)
+            hole_after = hole & (iota >= fw)
+            case_bh = jnp.any(hole_after, axis=0, keepdims=True)
+            ha = jnp.where(case_bh, _first_idx(hole_after, S - 1), S - 1)
+            hole_before = hole & (iota <= lb)
+            case_c = jnp.any(hole_before, axis=0, keepdims=True)
+            hb = _last_idx(hole_before, 0)
+            use_b = ~case_a & (case_bh | ~case_c)
+            fw_b = jnp.where(case_bh, fw, jnp.minimum(fw, S - 1))
+
+            def place(x, val):
+                out_a = jnp.where(iota == pos_a, val, x)
+                right = pltpu.roll(x, 1, 0)
+                out_b = jnp.where((iota > fw_b) & (iota <= ha), right, x)
+                out_b = jnp.where(iota == fw_b, val, out_b)
+                left = pltpu.roll(x, n_slots - 1, 0)  # circular -1
+                out_c = jnp.where((iota >= hb) & (iota < lb), left, x)
+                out_c = jnp.where(iota == lb, val, out_c)
+                out = jnp.where(case_a, out_a,
+                                jnp.where(use_b, out_b, out_c))
+                return jnp.where(do_ins, out, x)
+
+            Yp = place(Yp, price)
+            Yq = place(Yq, add_q)
+            Yo = place(Yo, oid)
+            Yt = place(Yt, tid)
+            Ys = place(Ys, ts)
+            Yn = place(Yn, tns)
+
+            # ---- write back through the frame ----
+            book[ASK, PRICE] = jnp.where(bid_frame, Xp, Yp)
+            book[BID, PRICE] = jnp.where(bid_frame, Yp, Xp)
+            book[ASK, QUANT] = jnp.where(bid_frame, Xq, Yq)
+            book[BID, QUANT] = jnp.where(bid_frame, Yq, Xq)
+            book[ASK, OID] = jnp.where(bid_frame, Xo, Yo)
+            book[BID, OID] = jnp.where(bid_frame, Yo, Xo)
+            book[ASK, TID] = jnp.where(bid_frame, Xt, Yt)
+            book[BID, TID] = jnp.where(bid_frame, Yt, Xt)
+            book[ASK, TS] = jnp.where(bid_frame, Xs, Ys)
+            book[BID, TS] = jnp.where(bid_frame, Ys, Xs)
+            book[ASK, TNS] = jnp.where(bid_frame, Xn, Yn)
+            book[BID, TNS] = jnp.where(bid_frame, Yn, Xn)
+
+            # ---- best bid/ask (ref: get_best_bid_and_ask_inclQuants) ----
+            ap = book[ASK, PRICE]
+            bp = book[BID, PRICE]
+            best_a = jnp.min(jnp.where(ap == EMPTY_SLOT, maxint, ap),
+                             axis=0, keepdims=True)
+            best_a = jnp.where(best_a == maxint, EMPTY_SLOT, best_a)
+            best_b = jnp.max(bp, axis=0, keepdims=True)
+            a_q = jnp.sum(jnp.where(ap == best_a, book[ASK, QUANT], 0),
+                          axis=0, keepdims=True)
+            b_q = jnp.sum(jnp.where(bp == best_b, book[BID, QUANT], 0),
+                          axis=0, keepdims=True)
+            row = jnp.concatenate([best_a, a_q, best_b, b_q, n_new], axis=0)
+            bidask_ref[pl.ds(m, 1)] = row.reshape(1, 5, ENV_BLOCK)
+            return 0
+
+        jax.lax.fori_loop(0, n_msgs, msg_body, 0)
+        # flush a trailing partial group, then drain outstanding DMAs
+        if n_msgs % REC_GROUP != 0:
+            last_grp = n_msgs // REC_GROUP
+            pltpu.make_async_copy(rec_stage.at[last_grp % 2],
+                                  rec_ref.at[blk, last_grp],
+                                  send_sems.at[last_grp % 2]).start()
+        for s_ in range(2):
+            last_grp_s = n_groups - 1 - ((n_groups - 1 - s_) % 2)
+            if last_grp_s >= 0:
+                pltpu.make_async_copy(rec_stage.at[s_],
+                                      rec_ref.at[blk, last_grp_s],
+                                      send_sems.at[s_]).wait()
+        book_out_ref[...] = book[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
+                        interpret: bool = False
+                        ) -> Tuple[BookState, Tuple[Array, Array], Array]:
+    """Process one step's messages for a batch of environments.
+
+    Args:
+      msgs: (E, M, 8) int32 — per-env message streams.
+      book: batched BookState with leading env axis (E, slots) per field.
+
+    Returns:
+      (book', (bestasks (E, M, 2), bestbids (E, M, 2)),
+       records (E, M, slots, 4)).
+    """
+    assert cfg.cancel_mode <= CancelMode.INCLUDE_INITS, (
+        "random-cancel modes use the XLA engine path")
+    E, M, _ = msgs.shape
+    S = book.asks.price.shape[-1]
+    assert E % ENV_BLOCK == 0, f"batch {E} must be a multiple of {ENV_BLOCK}"
+    n_blocks = E // ENV_BLOCK
+
+    # pack to kernel layout: (2, 6, S, E)
+    def stack_side(side: SideState) -> Array:
+        return jnp.stack([side.price, side.quant, side.oid, side.tid,
+                          side.time_s, side.time_ns], axis=0)  # (6, E, S)
+
+    packed = jnp.stack([stack_side(book.asks), stack_side(book.bids)], axis=0)
+    packed = jnp.transpose(packed, (0, 1, 3, 2))               # (2,6,S,E)
+    msgs_k = jnp.transpose(msgs, (1, 2, 0)).astype(jnp.int32)  # (M,8,E)
+
+    kernel = _make_kernel(cfg, M, S)
+    book_out, bidask, records = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((M, 8, ENV_BLOCK), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 6, S, ENV_BLOCK), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2, 6, S, ENV_BLOCK), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 5, ENV_BLOCK), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, 6, S, E), jnp.int32),
+            jax.ShapeDtypeStruct((M, 5, E), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (n_blocks, (M + REC_GROUP - 1) // REC_GROUP, REC_GROUP,
+                 N_REC_PLANES, REC_K, ENV_BLOCK), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 6, S, ENV_BLOCK), jnp.int32),
+            pltpu.VMEM((2, REC_GROUP, N_REC_PLANES, REC_K, ENV_BLOCK),
+                       jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(msgs_k, packed)
+
+    book_out = jnp.transpose(book_out, (0, 1, 3, 2))  # (2,6,E,S)
+
+    def unpack_side(i: int) -> SideState:
+        f = book_out[i]
+        return SideState(price=f[PRICE], quant=f[QUANT], oid=f[OID],
+                         tid=f[TID], time_s=f[TS], time_ns=f[TNS])
+
+    new_book = BookState(asks=unpack_side(ASK), bids=unpack_side(BID),
+                         trades=book.trades)
+    bidask = jnp.transpose(bidask, (2, 0, 1))          # (E, M, 5)
+    bestasks = bidask[:, :, 0:2]
+    bestbids = bidask[:, :, 2:4]
+    fill_counts = bidask[:, :, 4]                      # (E, M)
+    # (n_blocks, n_groups, REC_GROUP, 4, REC_K, Eb) -> (E, M, REC_K, 4)
+    nb, ng, rg, npl, k_, eb = records.shape
+    records = records.reshape(nb, ng * rg, npl, k_, eb)
+    records = jnp.transpose(records, (0, 4, 1, 3, 2)).reshape(
+        E, ng * rg, k_, npl)[:, :M]
+    return new_book, (bestasks, bestbids), (records, fill_counts)
+
+
+def finalize_trade_log_from_records(trades0: Array, records: Array,
+                                    msgs: Array) -> Array:
+    """Capped trade log from compacted kernel records + message fields.
+
+    Per-env: records (M, REC_K, 4) planes (price, signed quant, pass_oid,
+    pass_tid) joined with msgs (M, 8) for (agr_oid, time_s, time_ns,
+    agr_tid).  Same semantics as ``engine.finalize_trade_log``; the rank ->
+    source mapping uses a small compare-reduce (searchsorted over wide
+    domains is slow on TPU).  NOTE: a single message records at most REC_K
+    fills; the kernel's per-message fill counts let callers detect
+    truncation.
+    """
+    M, K, _ = records.shape
+    cap = trades0.shape[0]
+    flat = records.reshape(M * K, N_REC_PLANES)
+    valid = flat[:, 0] != EMPTY_SLOT
+    cm = jnp.cumsum(valid.astype(jnp.int32))
+    total = cm[-1]
+    tc0 = jnp.sum((trades0[:, 0] != EMPTY_SLOT).astype(jnp.int32))
+
+    t = jnp.arange(cap, dtype=jnp.int32)
+    new_rank = t - tc0
+    # src[t] = #positions with cm <= new_rank[t]  (== searchsorted(cm, r+1))
+    src = jnp.sum((cm[:, None] <= new_rank[None, :]).astype(jnp.int32),
+                  axis=0)
+    overflow = total + tc0 > cap
+    last_src = jnp.sum((cm < total).astype(jnp.int32))
+    src = jnp.where((t == cap - 1) & overflow, last_src, src)
+    have_new = ((new_rank >= 0) & (new_rank < total)) | (
+        (t == cap - 1) & overflow & (total > 0))
+    src_c = jnp.minimum(src, M * K - 1)
+    planes = flat[src_c]                         # (cap, 4)
+    msg_of = msgs[src_c // K]                    # (cap, 8)
+    rows = jnp.stack([
+        planes[:, 0], planes[:, 1], planes[:, 2], msg_of[:, 4],
+        msg_of[:, 6], msg_of[:, 7], planes[:, 3], msg_of[:, 5],
+    ], axis=1).astype(jnp.int32)
+    return jnp.where(have_new[:, None], rows, trades0)
