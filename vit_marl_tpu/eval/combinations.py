@@ -48,10 +48,8 @@ def rollout(env: WorldEnv, params, policies: Sequence, num_envs: int,
             a = jax.tree.map(lambda v: v[0], a)
             a = a.reshape((num_envs, env.n_per_type[i]) + a.shape[1:])
             actions.append(a.squeeze() if env.n_per_type[i] == 1 else a)
-        step_keys = jax.random.split(kstep, num_envs)
-        obs, state, rewards, dones_d, infos = jax.vmap(
-            env.step, in_axes=(0, 0, [0] * n_types, None))(
-            step_keys, state, actions, params)
+        obs, state, rewards, dones_d, infos = env.step_vec(
+            kstep, state, actions, params)
         new_dones = [
             dones_d["agents"][i].reshape((num_actors[i],))
             for i in range(n_types)]

@@ -168,10 +168,8 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                     actions.append(a.squeeze() if env.n_per_type[i] == 1
                                    else a)
                 rng, _rng = jax.random.split(rng)
-                step_rng = jax.random.split(_rng, cfg.num_envs)
-                obsv, env_state, reward, done, info = jax.vmap(
-                    env.step, in_axes=(0, 0, [0] * n_types, None))(
-                    step_rng, env_state, actions, env_params)
+                obsv, env_state, reward, done, info = env.step_vec(
+                    _rng, env_state, actions, env_params)
                 transitions = []
                 new_dones = []
                 for i in range(n_types):
