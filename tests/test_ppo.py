@@ -106,3 +106,13 @@ def test_checkpointing(tmp_path):
 def test_anneal_lr_off_runs():
     out = make_train(tiny_ma(), tiny_train(1, anneal_lr=False))(KEY)
     assert len(out["metrics"]) == 1
+
+
+def test_rollout_loop_mode_matches_scan_mode():
+    """Both rollout collection modes must produce identical updates."""
+    ma = tiny_ma()
+    out_scan = make_train(ma, tiny_train(1, rollout_mode="scan"))(KEY)
+    out_loop = make_train(ma, tiny_train(1, rollout_mode="loop"))(KEY)
+    for a, b in zip(jax.tree.leaves(out_scan["metrics"]),
+                    jax.tree.leaves(out_loop["metrics"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

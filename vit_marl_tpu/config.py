@@ -334,6 +334,8 @@ class TrainConfig:
     hidden_size: int = 64
     # network per agent type: "gru" | "vit_gru"
     network: Tuple[str, ...] = ("gru", "gru")
+    # rollout collection: "auto" (loop on TPU, scan elsewhere) | "scan" | "loop"
+    rollout_mode: str = "auto"
     vit_preset: str = "tiny"         # "tiny" | "small" | "base"
     seed: int = 30
     # distributed

@@ -148,55 +148,54 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         init_dones = [jnp.zeros((num_actors[i],), bool) for i in range(n_types)]
 
         # ---- one PPO update (ref: ippo_rnn_JAXMARL.py:276-576) ----
-        def _update_step(runner_state, update_idx):
-            def _env_step(rs, _):
-                train_states, env_state, last_obs, last_done, h_states, rng = rs
-                rng, _rng = jax.random.split(rng)
-                actions, values, log_probs, new_h = [], [], [], []
-                for i, ts in enumerate(train_states):
-                    obs_i = batchify(last_obs[i], num_actors[i])
-                    ac_in = (jax.tree.map(lambda v: v[None], obs_i),
-                             last_done[i][None])
-                    h, pi, value = ts.apply_fn(ts.params, h_states[i], ac_in)
-                    new_h.append(h)
-                    values.append(value)
-                    action = pi.sample(seed=_rng)
-                    log_probs.append(pi.log_prob(action))
-                    # (1, num_actors, ...) -> (num_envs, n_agents, ...)
-                    a = action.reshape((cfg.num_envs, env.n_per_type[i])
-                                       + action.shape[2:])
-                    actions.append(a.squeeze() if env.n_per_type[i] == 1
-                                   else a)
-                rng, _rng = jax.random.split(rng)
-                obsv, env_state, reward, done, info = env.step_vec(
-                    _rng, env_state, actions, env_params)
-                transitions = []
-                new_dones = []
-                for i in range(n_types):
-                    done_i = batchify(done["agents"][i],
-                                      num_actors[i]).squeeze()
-                    new_dones.append(done_i)
-                    transitions.append(Transition(
-                        global_done=jnp.tile(done["__all__"],
-                                             env.n_per_type[i]),
-                        done=last_done[i],
-                        action=batchify(actions[i].reshape(
-                            (cfg.num_envs, env.n_per_type[i])
-                            + (actions[i].shape[2:]
-                               if env.n_per_type[i] > 1
-                               else actions[i].shape[1:])), num_actors[i]),
-                        value=values[i].squeeze(0),
-                        reward=batchify(reward[i], num_actors[i]).squeeze(),
-                        log_prob=log_probs[i].squeeze(0),
-                        obs=batchify(obsv[i], num_actors[i]),
-                    ))
-                rs = (train_states, env_state, obsv, new_dones, new_h, rng)
-                return rs, transitions
+        def _env_step(rs, _):
+            train_states, env_state, last_obs, last_done, h_states, rng = rs
+            rng, _rng = jax.random.split(rng)
+            actions, values, log_probs, new_h = [], [], [], []
+            for i, ts in enumerate(train_states):
+                obs_i = batchify(last_obs[i], num_actors[i])
+                ac_in = (jax.tree.map(lambda v: v[None], obs_i),
+                         last_done[i][None])
+                h, pi, value = ts.apply_fn(ts.params, h_states[i], ac_in)
+                new_h.append(h)
+                values.append(value)
+                action = pi.sample(seed=_rng)
+                log_probs.append(pi.log_prob(action))
+                # (1, num_actors, ...) -> (num_envs, n_agents, ...)
+                a = action.reshape((cfg.num_envs, env.n_per_type[i])
+                                   + action.shape[2:])
+                actions.append(a.squeeze() if env.n_per_type[i] == 1
+                               else a)
+            rng, _rng = jax.random.split(rng)
+            obsv, env_state, reward, done, info = env.step_vec(
+                _rng, env_state, actions, env_params)
+            transitions = []
+            new_dones = []
+            for i in range(n_types):
+                done_i = batchify(done["agents"][i],
+                                  num_actors[i]).squeeze()
+                new_dones.append(done_i)
+                transitions.append(Transition(
+                    global_done=jnp.tile(done["__all__"],
+                                         env.n_per_type[i]),
+                    done=last_done[i],
+                    action=batchify(actions[i].reshape(
+                        (cfg.num_envs, env.n_per_type[i])
+                        + (actions[i].shape[2:]
+                           if env.n_per_type[i] > 1
+                           else actions[i].shape[1:])), num_actors[i]),
+                    value=values[i].squeeze(0),
+                    reward=batchify(reward[i], num_actors[i]).squeeze(),
+                    log_prob=log_probs[i].squeeze(0),
+                    obs=batchify(obsv[i], num_actors[i]),
+                ))
+            rs = (train_states, env_state, obsv, new_dones, new_h, rng)
+            return rs, transitions
 
-            initial_hstates = runner_state[-2]
-            runner_state, traj_batch = jax.lax.scan(
-                _env_step, runner_state, None, cfg.num_steps)
-            train_states, env_state, last_obs, last_dones, h_new, rng = runner_state
+        def _update_from_traj(rollout_state, initial_hstates, traj_batch,
+                              update_idx):
+            """GAE + PPO epochs given a collected trajectory."""
+            train_states, env_state, last_obs, last_dones, h_new, rng = rollout_state
 
             # ---- GAE per type (ref: ippo_rnn_JAXMARL.py:372-413) ----
             def _gae(gamma, lam, traj, last_val):
@@ -303,7 +302,18 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                             last_dones, h_new, rng)
             return runner_state, metrics
 
+
+        def _update_step(runner_state, update_idx):
+            """Fused single-jit update (rollout scan + GAE + PPO)."""
+            initial_hstates = runner_state[-2]
+            rollout_state, traj_batch = jax.lax.scan(
+                _env_step, runner_state, None, cfg.num_steps)
+            return _update_from_traj(rollout_state, initial_hstates,
+                                     traj_batch, update_idx)
+
         update_jit = jax.jit(_update_step)
+        env_step_jit = jax.jit(lambda rs: _env_step(rs, None))
+        update_from_traj_jit = jax.jit(_update_from_traj)
 
         if mesh is not None:
             from vit_marl_tpu.parallel.mesh import replicate, shard_batch
@@ -321,8 +331,24 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
             from vit_marl_tpu.rl.checkpoint import CheckpointManager
             ckpt = CheckpointManager(cfg.checkpoint_dir,
                                      max_to_keep=cfg.checkpoint_max_to_keep)
+        use_loop = cfg.rollout_mode == "loop" or (
+            cfg.rollout_mode == "auto" and jax.default_backend() == "tpu")
         for u in range(num_updates):
-            runner_state, metrics = update_jit(runner_state, u)
+            if use_loop:
+                # Python-dispatched rollout: each step is one jitted call
+                # (async-pipelined); avoids the fused-scan rollout, which
+                # is substantially slower on some TPU runtimes.
+                initial_hstates = runner_state[-2]
+                rs = runner_state
+                steps = []
+                for _t in range(cfg.num_steps):
+                    rs, tr = env_step_jit(rs)
+                    steps.append(tr)
+                traj_batch = jax.tree.map(lambda *v: jnp.stack(v), *steps)
+                runner_state, metrics = update_from_traj_jit(
+                    rs, initial_hstates, traj_batch, u)
+            else:
+                runner_state, metrics = update_jit(runner_state, u)
             logger.log(jax.device_get(metrics))
             metrics_history.append(jax.device_get(metrics))
             if ckpt is not None:

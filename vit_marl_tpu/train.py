@@ -1,0 +1,70 @@
+"""Training CLI (replaces the reference's hydra entry point,
+ref: gymnax_exchange/jaxrl/MARL/ippo_rnn_JAXMARL.py:840-1022).
+
+Usage:
+  python -m vit_marl_tpu.train --config configs/ippo_2player.yaml
+  python -m vit_marl_tpu.train --config configs/ippo_vision_dual_ppo.yaml \
+      --set NUM_ENVS=512 --set TOTAL_TIMESTEPS=1e6
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None, help="YAML run config")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="KEY=VALUE", help="override a top-level config key")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--timing", action="store_true",
+                   help="report steps/sec after training "
+                        "(ref: ippo_rnn_JAXMARL.py Timing mode)")
+    args = p.parse_args()
+
+    import jax
+    import yaml
+
+    from vit_marl_tpu.config import make_config
+    from vit_marl_tpu.rl.ppo import make_train
+    from vit_marl_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    raw = {}
+    if args.config:
+        with open(args.config) as f:
+            raw = yaml.safe_load(f) or {}
+    for kv in args.set:
+        key, val = kv.split("=", 1)
+        raw[key.upper()] = yaml.safe_load(val)
+
+    ma_config, train_config = make_config(raw)
+    if args.seed is not None:
+        import dataclasses
+        train_config = dataclasses.replace(train_config, seed=args.seed)
+
+    print(f"devices: {jax.devices()}")
+    print(f"world: {ma_config.world.stock} {ma_config.world.time_period} "
+          f"ep_type={ma_config.world.ep_type} "
+          f"msgs/step={ma_config.num_msgs_per_step}")
+    print(f"train: envs={train_config.num_envs} steps={train_config.num_steps} "
+          f"updates={train_config.num_updates} networks={train_config.network}")
+
+    train = make_train(ma_config, train_config)
+    t0 = time.time()
+    out = train(jax.random.PRNGKey(train_config.seed))
+    wall = time.time() - t0
+    n_steps = (train_config.num_envs * train_config.num_steps
+               * len(out["metrics"]))
+    print(f"done: {len(out['metrics'])} updates, {n_steps} env-steps "
+          f"in {wall:.1f}s")
+    if args.timing:
+        print(f"throughput: {n_steps / wall:.0f} env-steps/s (incl. compile)")
+    return out
+
+
+if __name__ == "__main__":
+    main()
