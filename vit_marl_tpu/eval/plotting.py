@@ -24,6 +24,10 @@ def combination_heatmap(results: Dict[str, dict], agent_index: int = 0,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if len(next(iter(results))) < 2:
+        # single agent type: a 2x2 grid is meaningless; use the bar plot
+        return triangular_plot(results, agent_index, save_path)
+
     labels = ["L", "B"]
     grid = np.full((2, 2), np.nan)
     for combo, summary in results.items():
