@@ -1,0 +1,62 @@
+"""Mesh data-parallel training on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_marl_tpu.config import (
+    ExecutionConfig,
+    MarketMakingConfig,
+    MultiAgentConfig,
+    TrainConfig,
+    WorldConfig,
+)
+from vit_marl_tpu.parallel import make_mesh, replicate, shard_batch
+from vit_marl_tpu.rl.ppo import make_train
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_mesh_construction():
+    mesh = make_mesh((8,), ("data",))
+    assert mesh.shape == {"data": 8}
+
+
+def test_shard_and_replicate():
+    mesh = make_mesh((8,), ("data",))
+    x = jnp.arange(16 * 4).reshape(16, 4)
+    xs = shard_batch({"x": x}, mesh)["x"]
+    assert xs.sharding.spec[0] == "data"
+    xr = replicate({"x": x}, mesh)["x"]
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(x))
+
+
+def test_sharded_training_step():
+    """One IPPO update with the env batch sharded over 8 devices."""
+    assert len(jax.devices()) >= 8
+    wcfg = WorldConfig(n_data_msg_per_step=5, ep_type="fixed_steps",
+                       episode_time=4, start_resolution=4,
+                       n_messages_per_synthetic_day=600)
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(),
+                ExecutionConfig(action_space="simplest_case",
+                                observation_space="simplest_case",
+                                reward_space="simplest_case")),
+        n_agents_per_type=(1, 1))
+    tc = TrainConfig(num_envs=16, num_steps=4, num_minibatches=2,
+                     update_epochs=1, total_timesteps=16 * 4,
+                     log_backend="none", rollout_mode="scan")
+    mesh = make_mesh((8,), ("data",))
+    out = make_train(ma, tc, mesh=mesh)(KEY)
+    m = out["metrics"][0]
+    for k, v in m.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+    # sharded result matches the unsharded run
+    out2 = make_train(ma, tc)(KEY)
+    for k in m:
+        np.testing.assert_allclose(np.asarray(m[k]),
+                                   np.asarray(out2["metrics"][0][k]),
+                                   rtol=2e-4, atol=1e-5)
