@@ -27,8 +27,8 @@ BASELINE_ENV_STEPS = 1_000_000.0  # north star: 1M env-steps/sec/chip
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--envs", type=int, default=2048)
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--envs", type=int, default=8192)
+    p.add_argument("--steps", type=int, default=10)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--data-msgs", type=int, default=100)
     p.add_argument("--policy", default="gru",

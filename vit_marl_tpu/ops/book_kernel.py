@@ -169,19 +169,29 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int):
 
             rank = _prefix_sum(was.astype(jnp.int32))     # inclusive
             n_new = jnp.max(rank, axis=0, keepdims=True)  # fills this msg
+            # clear the validity (price) plane, then fill only the ranks
+            # that occur anywhere in the block (typically <= 4 of REC_K)
+            rec_stage[slot, within, 0] = jnp.full(
+                (REC_K, ENV_BLOCK), EMPTY_SLOT, jnp.int32)
+            n_max = jnp.max(n_new)
             for k in range(REC_K):
-                sel = was & (rank == k + 1)
-                has_k = k + 1 <= n_new                    # (1, E)
-                p_k = jnp.sum(jnp.where(sel, Xp, 0), axis=0, keepdims=True)
-                q_k = -s * jnp.sum(jnp.where(sel, matched, 0), axis=0,
-                                   keepdims=True)
-                o_k = jnp.sum(jnp.where(sel, Xo, 0), axis=0, keepdims=True)
-                t_k = jnp.sum(jnp.where(sel, Xt, 0), axis=0, keepdims=True)
-                rec_stage[slot, within, 0, k:k + 1] = jnp.where(
-                    has_k, p_k, EMPTY_SLOT)
-                rec_stage[slot, within, 1, k:k + 1] = q_k
-                rec_stage[slot, within, 2, k:k + 1] = o_k
-                rec_stage[slot, within, 3, k:k + 1] = t_k
+                @pl.when(k < n_max)
+                def _(k=k):
+                    sel = was & (rank == k + 1)
+                    has_k = k + 1 <= n_new                # (1, E)
+                    p_k = jnp.sum(jnp.where(sel, Xp, 0), axis=0,
+                                  keepdims=True)
+                    q_k = -s * jnp.sum(jnp.where(sel, matched, 0), axis=0,
+                                       keepdims=True)
+                    o_k = jnp.sum(jnp.where(sel, Xo, 0), axis=0,
+                                  keepdims=True)
+                    t_k = jnp.sum(jnp.where(sel, Xt, 0), axis=0,
+                                  keepdims=True)
+                    rec_stage[slot, within, 0, k:k + 1] = jnp.where(
+                        has_k, p_k, EMPTY_SLOT)
+                    rec_stage[slot, within, 1, k:k + 1] = q_k
+                    rec_stage[slot, within, 2, k:k + 1] = o_k
+                    rec_stage[slot, within, 3, k:k + 1] = t_k
 
             @pl.when(within == REC_GROUP - 1)
             def _():
