@@ -307,10 +307,10 @@ class WorldEnv:
             trades=jnp.broadcast_to(bk.init_trades(wcfg.n_trades),
                                     (E, wcfg.n_trades, 8)))
         if self.pallas_ok and E % ENV_BLOCK == 0:
-            book, (bestasks, bestbids), (recs, _counts) = pallas_process_step(
+            book, (bestasks, bestbids), (recs, counts) = pallas_process_step(
                 wcfg, combined, book0)
             trades = jax.vmap(finalize_trade_log_from_records)(
-                book0.trades, recs, combined)
+                book0.trades, recs, combined, counts)
             book = book.replace(trades=trades)
         else:
             book, (bestasks, bestbids) = jax.vmap(

@@ -385,38 +385,53 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
 
 
 def finalize_trade_log_from_records(trades0: Array, records: Array,
-                                    msgs: Array) -> Array:
+                                    msgs: Array,
+                                    fill_counts: Array = None) -> Array:
     """Capped trade log from compacted kernel records + message fields.
 
     Per-env: records (M, REC_K, 4) planes (price, signed quant, pass_oid,
     pass_tid) joined with msgs (M, 8) for (agr_oid, time_s, time_ns,
-    agr_tid).  Same semantics as ``engine.finalize_trade_log``; the rank ->
-    source mapping uses a small compare-reduce (searchsorted over wide
-    domains is slow on TPU).  NOTE: a single message records at most REC_K
-    fills; the kernel's per-message fill counts let callers detect
-    truncation.
+    agr_tid).  Same semantics as ``engine.finalize_trade_log``.
+
+    Because records are rank-compacted per message, the global-rank ->
+    source-row mapping is closed-form given per-message fill counts: the
+    t-th trade lives in the first message whose cumulative count exceeds t,
+    at within-message row ``t - cum_before``.  ``fill_counts`` (M,) comes
+    from the kernel; when omitted it is recomputed from record validity.
+    NOTE: a single message records at most REC_K fills; counts are clamped
+    accordingly (truncation is detectable from the raw kernel counts).
     """
     M, K, _ = records.shape
     cap = trades0.shape[0]
     flat = records.reshape(M * K, N_REC_PLANES)
-    valid = flat[:, 0] != EMPTY_SLOT
-    cm = jnp.cumsum(valid.astype(jnp.int32))
+    if fill_counts is None:
+        fill_counts = jnp.sum((records[:, :, 0] != EMPTY_SLOT)
+                              .astype(jnp.int32), axis=1)
+    counts = jnp.minimum(fill_counts.astype(jnp.int32), K)
+    cm = jnp.cumsum(counts)                       # (M,) cumulative fills
     total = cm[-1]
     tc0 = jnp.sum((trades0[:, 0] != EMPTY_SLOT).astype(jnp.int32))
 
     t = jnp.arange(cap, dtype=jnp.int32)
     new_rank = t - tc0
-    # src[t] = #positions with cm <= new_rank[t]  (== searchsorted(cm, r+1))
-    src = jnp.sum((cm[:, None] <= new_rank[None, :]).astype(jnp.int32),
-                  axis=0)
+    # closed-form source row: message index + within-message offset
+    def rank_to_src(r):
+        m_of = jnp.sum((cm[:, None] <= r[None, :]).astype(jnp.int32), axis=0)
+        m_c = jnp.minimum(m_of, M - 1)
+        before = jnp.where(m_of > 0, cm[jnp.maximum(m_of - 1, 0)], 0)
+        return m_c * K + (r - before), m_c
+
+    src, msg_idx = rank_to_src(new_rank)
     overflow = total + tc0 > cap
-    last_src = jnp.sum((cm < total).astype(jnp.int32))
-    src = jnp.where((t == cap - 1) & overflow, last_src, src)
+    last_src, last_m = rank_to_src(jnp.full((cap,), total - 1))
+    is_last_slot = (t == cap - 1) & overflow
+    src = jnp.where(is_last_slot, last_src, src)
+    msg_idx = jnp.where(is_last_slot, last_m, msg_idx)
     have_new = ((new_rank >= 0) & (new_rank < total)) | (
-        (t == cap - 1) & overflow & (total > 0))
-    src_c = jnp.minimum(src, M * K - 1)
+        is_last_slot & (total > 0))
+    src_c = jnp.clip(src, 0, M * K - 1)
     planes = flat[src_c]                         # (cap, 4)
-    msg_of = msgs[src_c // K]                    # (cap, 8)
+    msg_of = msgs[msg_idx]                       # (cap, 8)
     rows = jnp.stack([
         planes[:, 0], planes[:, 1], planes[:, 2], msg_of[:, 4],
         msg_of[:, 6], msg_of[:, 7], planes[:, 3], msg_of[:, 5],
