@@ -56,10 +56,8 @@ def rollout(env: WorldEnv, params, policies: Sequence, num_envs: int,
         out = {
             "rewards": rewards,
             "dones": dones_d["__all__"],
-            "agent_infos": [
-                {k: v for k, v in infos["agents"][i].items()
-                 if v.dtype != jnp.int32 or True}
-                for i in range(n_types)],
+            "agent_infos": [dict(infos["agents"][i])
+                            for i in range(n_types)],
         }
         return (rng, state, obs, new_dones, new_h), out
 
