@@ -154,7 +154,7 @@ def main():
         t0 = time.time()
         for r in range(args.reps):
             ls, s = rollout_jit(ls)
-        jax.block_until_ready(s)
+        float(jax.device_get(s))   # host fetch: block_until_ready can lie
     else:
         step_jit = jax.jit(one_step)
         t0 = time.time()
@@ -164,7 +164,7 @@ def main():
         t0 = time.time()
         for r in range(args.reps * args.steps):
             ls, s = step_jit(ls)
-        jax.block_until_ready(s)
+        float(jax.device_get(s))   # host fetch: block_until_ready can lie
     dt = time.time() - t0
     env_steps = args.envs * args.steps * args.reps
     rate = env_steps / dt

@@ -116,3 +116,12 @@ def test_rollout_loop_mode_matches_scan_mode():
     for a, b in zip(jax.tree.leaves(out_scan["metrics"]),
                     jax.tree.leaves(out_loop["metrics"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_periodic_eval_rollout():
+    ma = tiny_ma()
+    tc = tiny_train(2, eval_every=1, eval_steps=3, eval_envs=4)
+    out = make_train(ma, tc)(KEY)
+    for m in out["metrics"]:
+        assert "EXE/eval_mean_reward" in m
+        assert np.isfinite(np.asarray(m["EXE/eval_mean_reward"]))

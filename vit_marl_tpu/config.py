@@ -336,6 +336,11 @@ class TrainConfig:
     network: Tuple[str, ...] = ("gru", "gru")
     # rollout collection: "auto" (loop on TPU, scan elsewhere) | "scan" | "loop"
     rollout_mode: str = "auto"
+    # periodic greedy evaluation on a held-out env (0 = off)
+    # (ref: ippo_rnn_JAXMARL.py:579-678 CALC_EVAL)
+    eval_every: int = 0
+    eval_steps: int = 32
+    eval_envs: int = 0               # 0 -> num_envs
     vit_preset: str = "tiny"         # "tiny" | "small" | "base"
     seed: int = 30
     # distributed

@@ -36,6 +36,7 @@ def run_speed_grid(
             wcfg = WorldConfig(n_data_msg_per_step=max(n_msg, 1),
                                ep_type="fixed_steps", episode_time=num_steps,
                                start_resolution=num_steps,
+                               n_orders=128, n_trades=128,  # Pallas-eligible
                                n_messages_per_synthetic_day=max(
                                    30_000, n_msg * num_steps * 10))
             ma = MultiAgentConfig(
@@ -49,14 +50,17 @@ def run_speed_grid(
                 keys, params)
             actions = [jnp.zeros((num_envs, n_mm), jnp.int32).squeeze(),
                        jnp.zeros((num_envs, n_exec), jnp.int32).squeeze()]
-            step = jax.jit(jax.vmap(env.step, in_axes=(0, 0, [0, 0], None)))
-            out = step(keys, state, actions, params)
-            jax.block_until_ready(out)
+            step = jax.jit(env.step_vec)
+            out = step(keys[0], state, actions, params)
+            float(jax.device_get(out[2][0]).sum())
             t0 = time.time()
             st = state
             for i in range(num_steps):
-                obs, st, rew, dones, info = step(keys, st, actions, params)
-            jax.block_until_ready(rew)
+                obs, st, rew, dones, info = step(
+                    jax.random.fold_in(keys[0], i), st, actions, params)
+            # host fetch: block_until_ready does not reliably synchronise
+            float(jax.device_get(rew[0]).sum())
+            float(jax.device_get(st.world.mid_price).sum())
             dt = time.time() - t0
             rate = num_envs * num_steps / dt
             rows.append({

@@ -88,7 +88,8 @@ def _dummy_obs(space, num_envs: int):
 def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                env: Optional[WorldEnv] = None,
                logger: Optional[Logger] = None,
-               mesh=None):
+               mesh=None,
+               eval_env: Optional[WorldEnv] = None):
     """Build the training function (ref: ippo_rnn_JAXMARL.py:138-221).
 
     When ``mesh`` is given, the environment batch (env states, observations,
@@ -98,6 +99,8 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
     (ref: ippo_rnn_JAXMARL_pmap.py).
     """
     env = env or WorldEnv(ma_config)
+    if cfg.eval_every and eval_env is None:
+        eval_env = env  # same data; pass a held-out-period env to separate
     logger = logger or Logger(cfg.log_backend, cfg.log_path)
     n_types = len(env.agent_types)
     num_actors = [n * cfg.num_envs for n in env.n_per_type]
@@ -315,6 +318,46 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         env_step_jit = jax.jit(lambda rs: _env_step(rs, None))
         update_from_traj_jit = jax.jit(_update_from_traj)
 
+        # ---- periodic greedy evaluation (ref: ippo_rnn_JAXMARL.py:579-678)
+        def _eval_rollout(params_list, rng):
+            n_ev = cfg.eval_envs or cfg.num_envs
+            ev_actors = [n * n_ev for n in eval_env.n_per_type]
+            eval_params = eval_env.default_params
+            rng, r0 = jax.random.split(rng)
+            keys0 = jax.random.split(r0, n_ev)
+            obs, st = jax.vmap(eval_env.reset, in_axes=(0, None))(
+                keys0, eval_params)
+            hs = [ScannedGRU.initialize_carry(ev_actors[i], cfg.hidden_size)
+                  for i in range(n_types)]
+            dns = [jnp.zeros((ev_actors[i],), bool) for i in range(n_types)]
+
+            def step_fn(carry, _):
+                rng, st, obs, dns, hs = carry
+                rng, kstep = jax.random.split(rng)
+                acts = []
+                hs2 = list(hs)
+                for i in range(n_types):
+                    obs_i = jax.tree.map(
+                        lambda v: v.reshape((ev_actors[i],) + v.shape[2:])[None],
+                        obs[i])
+                    hs2[i], pi, _ = networks[i].apply(
+                        params_list[i], hs[i], (obs_i, dns[i][None]))
+                    a = jax.tree.map(lambda v: v[0], pi.mode())
+                    a = a.reshape((n_ev, eval_env.n_per_type[i]) + a.shape[1:])
+                    acts.append(a.squeeze() if eval_env.n_per_type[i] == 1
+                                else a)
+                obs, st, rew, done, _ = eval_env.step_vec(
+                    kstep, st, acts, eval_params)
+                dns2 = [done["agents"][i].reshape((ev_actors[i],))
+                        for i in range(n_types)]
+                return (rng, st, obs, dns2, hs2), [r.mean() for r in rew]
+
+            (_, st, obs, dns, hs), rews = jax.lax.scan(
+                step_fn, (rng, st, obs, dns, hs), None, cfg.eval_steps)
+            return [r.mean() for r in rews]
+
+        eval_jit = jax.jit(_eval_rollout) if cfg.eval_every else None
+
         if mesh is not None:
             from vit_marl_tpu.parallel.mesh import replicate, shard_batch
             train_states = replicate(train_states, mesh)
@@ -349,6 +392,12 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                     rs, initial_hstates, traj_batch, u)
             else:
                 runner_state, metrics = update_jit(runner_state, u)
+            if eval_jit is not None and (u + 1) % cfg.eval_every == 0:
+                rng, ev_rng = jax.random.split(rng)
+                ev = eval_jit([ts.params for ts in runner_state[0]], ev_rng)
+                for i in range(n_types):
+                    name = eval_env.agent_types[i].cfg.short_name
+                    metrics[f"{name}/eval_mean_reward"] = ev[i]
             logger.log(jax.device_get(metrics))
             metrics_history.append(jax.device_get(metrics))
             if ckpt is not None:
