@@ -14,6 +14,7 @@ from functools import partial
 from vit_marl_tpu.config import EngineConfig
 from vit_marl_tpu.lob import book as bk
 from vit_marl_tpu.lob import engine as eng
+from vit_marl_tpu.env.common import ffill_best_prices
 from vit_marl_tpu.ops.book_kernel import (
     ENV_BLOCK,
     pallas_process_step,
@@ -64,10 +65,13 @@ def test_kernel_matches_xla_engine():
     xla_book, (xa, xb) = jax.jit(jax.vmap(
         partial(eng.process_messages_save_bidask, cfg, n_last=M),
         in_axes=(0, 0, 0)))(keys, msgs, batched)
+    prev = jnp.full((E, 2), 12_345, jnp.int32)
+    xa = jax.vmap(ffill_best_prices)(xa, prev[:, 0])
+    xb = jax.vmap(ffill_best_prices)(xb, prev[:, 1])
 
     interpret = jax.default_backend() != "tpu"
     pal_book, (pa, pb), (recs, counts) = pallas_process_step(
-        cfg, msgs, batched, interpret)
+        cfg, msgs, batched, prev, interpret)
     trades = jax.vmap(finalize_trade_log_from_records)(
         batched.trades, recs, msgs)
 

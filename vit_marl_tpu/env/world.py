@@ -170,13 +170,15 @@ class WorldEnv:
 
     def _post_engine(self, state: MultiAgentState, params: MultiAgentParams,
                      book: bk.BookState, bestasks: Array, bestbids: Array,
-                     combined: Array, lob_state_before, new_id_counter):
+                     combined: Array, lob_state_before, new_id_counter,
+                     skip_ffill: bool = False):
         """Stages E-K: rewards, state updates, dones, infos, observations
         (ref: marl_env.py:420-662)."""
         wcfg = self.wcfg
         world = state.world
-        bestasks = ffill_best_prices(bestasks, world.best_asks[-1, 0])
-        bestbids = ffill_best_prices(bestbids, world.best_bids[-1, 0])
+        if not skip_ffill:
+            bestasks = ffill_best_prices(bestasks, world.best_asks[-1, 0])
+            bestbids = ffill_best_prices(bestbids, world.best_bids[-1, 0])
         final_time = combined[-1, -2:]
 
         rewards, extras_list = [], []
@@ -307,21 +309,25 @@ class WorldEnv:
             trades=jnp.broadcast_to(bk.init_trades(wcfg.n_trades),
                                     (E, wcfg.n_trades, 8)))
         if self.pallas_ok and E % ENV_BLOCK == 0:
+            prev = jnp.stack([states.world.best_asks[:, -1, 0],
+                              states.world.best_bids[:, -1, 0]], axis=1)
             book, (bestasks, bestbids), (recs, counts) = pallas_process_step(
-                wcfg, combined, book0)
+                wcfg, combined, book0, prev)
             trades = jax.vmap(finalize_trade_log_from_records)(
                 book0.trades, recs, combined, counts)
             book = book.replace(trades=trades)
+            ffill_done = True
         else:
+            ffill_done = False
             book, (bestasks, bestbids) = jax.vmap(
                 lambda k, m, b: engine.process_messages_save_bidask(
                     wcfg, k, m, b, self.num_msgs_per_step))(
                 step_keys, combined, book0)
 
+        post = partial(self._post_engine, skip_ffill=ffill_done)
         obs_st, st_st, rewards, dones, infos = jax.vmap(
-            self._post_engine, in_axes=(0, None, 0, 0, 0, 0,
-                                        0 if lob_before is not None else None,
-                                        0))(
+            post, in_axes=(0, None, 0, 0, 0, 0,
+                           0 if lob_before is not None else None, 0))(
             states, params, book, bestasks, bestbids, combined, lob_before,
             new_id_counter)
 

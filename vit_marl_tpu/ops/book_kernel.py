@@ -75,15 +75,16 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int):
     include_inits = cfg.cancel_mode >= CancelMode.INCLUDE_INITS
     n_groups = (n_msgs + REC_GROUP - 1) // REC_GROUP
 
-    def kernel(msgs_ref, book_in_ref, book_out_ref, bidask_ref, rec_ref,
-               book, rec_stage, send_sems):
+    def kernel(msgs_ref, book_in_ref, prev_ref, book_out_ref, bidask_ref,
+               rec_ref, book, rec_stage, send_sems):
         S = n_slots
         blk = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (S, ENV_BLOCK), 0)
 
         book[...] = book_in_ref[...]
 
-        def msg_body(m, _):
+        def msg_body(m, prev):
+            prev_a, prev_b = prev
             msg = msgs_ref[pl.ds(m, 1)].reshape(8, ENV_BLOCK)
             t = msg[0:1, :]
             s = msg[1:2, :]
@@ -277,11 +278,22 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int):
                           axis=0, keepdims=True)
             b_q = jnp.sum(jnp.where(bp == best_b, book[BID, QUANT], 0),
                           axis=0, keepdims=True)
+            # forward-fill invalid best prices across messages, seeded with
+            # the previous step's last valid prices (in-kernel version of
+            # env/common.py::ffill_best_prices, ref: marl_env.py:685-711)
+            a_invalid = best_a == EMPTY_SLOT
+            b_invalid = best_b == EMPTY_SLOT
+            best_a = jnp.where(a_invalid, prev_a, best_a)
+            a_q = jnp.where(a_invalid, 0, a_q)
+            best_b = jnp.where(b_invalid, prev_b, best_b)
+            b_q = jnp.where(b_invalid, 0, b_q)
+
             row = jnp.concatenate([best_a, a_q, best_b, b_q, n_new], axis=0)
             bidask_ref[pl.ds(m, 1)] = row.reshape(1, 5, ENV_BLOCK)
-            return 0
+            return (best_a, best_b)
 
-        jax.lax.fori_loop(0, n_msgs, msg_body, 0)
+        prev0 = (prev_ref[0:1, :], prev_ref[1:2, :])
+        jax.lax.fori_loop(0, n_msgs, msg_body, prev0)
         # flush a trailing partial group, then drain outstanding DMAs
         if n_msgs % REC_GROUP != 0:
             last_grp = n_msgs // REC_GROUP
@@ -299,8 +311,9 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 4))
 def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
+                        prev_prices: Array = None,
                         interpret: bool = False
                         ) -> Tuple[BookState, Tuple[Array, Array], Array]:
     """Process one step's messages for a batch of environments.
@@ -308,10 +321,12 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
     Args:
       msgs: (E, M, 8) int32 — per-env message streams.
       book: batched BookState with leading env axis (E, slots) per field.
+      prev_prices: (E, 2) int32 [last ask, last bid] seeding the in-kernel
+        best-price forward fill (omit for a -1 seed).
 
     Returns:
-      (book', (bestasks (E, M, 2), bestbids (E, M, 2)),
-       records (E, M, slots, 4)).
+      (book', (bestasks (E, M, 2), bestbids (E, M, 2)) forward-filled,
+       (records (E, M, REC_K, 4), fill_counts (E, M))).
     """
     assert cfg.cancel_mode <= CancelMode.INCLUDE_INITS, (
         "random-cancel modes use the XLA engine path")
@@ -328,6 +343,9 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
     packed = jnp.stack([stack_side(book.asks), stack_side(book.bids)], axis=0)
     packed = jnp.transpose(packed, (0, 1, 3, 2))               # (2,6,S,E)
     msgs_k = jnp.transpose(msgs, (1, 2, 0)).astype(jnp.int32)  # (M,8,E)
+    if prev_prices is None:
+        prev_prices = jnp.full((E, 2), EMPTY_SLOT, jnp.int32)
+    prev_k = jnp.transpose(prev_prices, (1, 0)).astype(jnp.int32)  # (2,E)
 
     kernel = _make_kernel(cfg, M, S)
     book_out, bidask, records = pl.pallas_call(
@@ -337,6 +355,8 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
             pl.BlockSpec((M, 8, ENV_BLOCK), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 6, S, ENV_BLOCK), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ENV_BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -361,7 +381,7 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(msgs_k, packed)
+    )(msgs_k, packed, prev_k)
 
     book_out = jnp.transpose(book_out, (0, 1, 3, 2))  # (2,6,E,S)
 
