@@ -321,3 +321,30 @@ class TestStepVec:
             obs, states, rewards, dones, infos = env2p.step_vec(
                 sk, states, actions, env2p_params)
         assert np.isfinite(np.asarray(rewards[0])).all()
+
+
+def test_step_determinism(env2p, env2p_params):
+    """Identical keys must give bit-identical trajectories."""
+    def run(seed):
+        key = jax.random.PRNGKey(seed)
+        keys = jax.random.split(key, 4)
+        obs, states = jax.vmap(env2p.reset, in_axes=(0, None))(keys,
+                                                               env2p_params)
+        actions = [jnp.asarray([1, 0, 2, 1]), jnp.asarray([1, 2, 0, 1])]
+        outs = []
+        k = key
+        for _ in range(5):
+            k, sk = jax.random.split(k)
+            obs, states, rewards, dones, infos = env2p.step_vec(
+                sk, states, actions, env2p_params)
+            outs.append((obs, rewards))
+        return outs
+
+    a, b = run(7), run(7)
+    for (oa, ra), (ob_, rb) in zip(a, b):
+        for x, y in zip(jax.tree.leaves((oa, ra)), jax.tree.leaves((ob_, rb))):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    c = run(8)
+    diff = any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(jax.tree.leaves(a[-1]), jax.tree.leaves(c[-1])))
+    assert diff  # different seed -> different trajectory
