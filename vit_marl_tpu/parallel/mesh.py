@@ -36,16 +36,24 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
 
 
 def shard_batch(tree, mesh: Mesh, axis: str = "data"):
-    """Place every leaf with its leading (batch) axis split over ``axis``."""
-    sharding = NamedSharding(mesh, P(axis))
+    """Place every leaf with its leading (batch) axis split over ``axis``.
+
+    Scalars (0-d leaves) are replicated; any array leaf whose leading axis
+    is not divisible by the mesh axis is an error — silent replication there
+    would mask a sharding regression.
+    """
+    n = mesh.shape[axis]
 
     def put(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.shape[axis] == 0:
-            s = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
-            return jax.device_put(x, s)
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        if getattr(x, "ndim", 0) == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        if x.shape[0] % n != 0:
+            raise ValueError(
+                f"shard_batch: leading axis {x.shape[0]} of leaf with shape "
+                f"{x.shape} is not divisible by mesh axis {axis!r}={n}")
+        s = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        return jax.device_put(x, s)
 
-    del sharding
     return jax.tree.map(put, tree)
 
 
