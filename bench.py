@@ -31,8 +31,13 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--data-msgs", type=int, default=100)
-    p.add_argument("--policy", default="gru",
-                   choices=["none", "gru", "vit-tiny", "vit-small", "vit-base"])
+    p.add_argument("--policy", default="vit-small",
+                   choices=["none", "gru", "vit-tiny", "vit-small", "vit-base"],
+                   help="default vit-small: the BASELINE.json north-star "
+                        "config (ViT-Small encoder in the loop)")
+    p.add_argument("--vit-images", action="store_true",
+                   help="measure the second BASELINE.json metric instead: "
+                        "ViT fwd+bwd images/sec inside a PPO update")
     p.add_argument("--mode", default="loop", choices=["loop", "scan"],
                    help="loop: Python-dispatched steps (async-pipelined, the "
                         "realistic serving/training pattern); scan: one fused "
@@ -49,6 +54,9 @@ def main():
     from vit_marl_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.vit_images:
+        return bench_vit_images(args)
 
     from vit_marl_tpu.config import (
         ExecutionConfig,
@@ -180,6 +188,82 @@ def main():
           f"steps={args.steps} reps={args.reps} msgs/step="
           f"{env.num_msgs_per_step} compile={compile_time:.1f}s "
           f"run={dt:.2f}s", file=sys.stderr)
+
+
+def bench_vit_images(args):
+    """BASELINE.json metric #2: ViT fwd+bwd images/sec inside a PPO update.
+
+    Times one PPO minibatch step (clipped-surrogate loss value_and_grad +
+    adam update) on the ViT actor-critic over random book images; each
+    iteration feeds the updated params back in, so inputs differ per call
+    (the axon relay dedupes identical executions).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vit_marl_tpu.models import VIT_PRESETS, ViTActorCriticRNN
+    from vit_marl_tpu.models.rnn import ScannedGRU
+
+    preset = {"gru": "small", "vit-tiny": "tiny", "vit-small": "small",
+              "vit-base": "base"}[args.policy if args.policy != "none"
+                                  else "vit-small"]
+    T, B = 16, max(args.envs // 16, 16)
+    net = ViTActorCriticRNN(action_dim=3, vit=VIT_PRESETS[preset],
+                            fc_dim=64, hidden_size=64, continuous=True,
+                            action_low=jnp.array([-1.0, 0.0, 0.0]),
+                            action_high=jnp.array([3.0, 1.0, 1.0]))
+    key = jax.random.PRNGKey(0)
+    obs = {"obs": jax.random.normal(key, (T, B, 28), jnp.float32),
+           "vision_obs": jax.random.normal(key, (T, B, 10, 3, 2),
+                                           jnp.float32)}
+    dones = jnp.zeros((T, B), jnp.float32)
+    h = ScannedGRU.initialize_carry(B, 64)
+    params = net.init(key, h, (jax.tree.map(lambda v: v[:1], obs),
+                               dones[:1]))
+    tx = optax.adam(2.5e-4)
+    opt_state = tx.init(params)
+    action = jnp.zeros((T, B, 3), jnp.float32)
+    old_logp = jnp.zeros((T, B), jnp.float32)
+    gae = jnp.ones((T, B), jnp.float32)
+
+    def loss_fn(p):
+        _, pi, value = net.apply(p, h, (obs, dones))
+        logp = pi.log_prob(action)
+        ratio = jnp.exp(logp - old_logp)
+        a_loss = -jnp.minimum(ratio * gae,
+                              jnp.clip(ratio, 0.8, 1.2) * gae).mean()
+        return a_loss + 0.5 * jnp.square(value).mean() - 0.01 * pi.entropy().mean()
+
+    @jax.jit
+    def ppo_step(p, o):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    params, opt_state, loss = ppo_step(params, opt_state)
+    t0 = _time.time()
+    float(jax.device_get(loss))
+    compile_time = _time.time() - t0
+    iters = max(args.reps * 4, 8)
+    t0 = _time.time()
+    for _ in range(iters):
+        params, opt_state, loss = ppo_step(params, opt_state)
+    float(jax.device_get(loss))  # host fetch: block_until_ready can lie
+    dt = _time.time() - t0
+    rate = T * B * iters / dt
+    import json as _json
+    print(_json.dumps({
+        "metric": f"vit_fwd_bwd_images_per_sec[{preset}]",
+        "value": round(rate, 1),
+        "unit": "images/s",
+        "vs_baseline": round(rate / BASELINE_ENV_STEPS, 4),
+    }))
+    import sys as _sys
+    print(f"# device={jax.devices()[0].platform} T={T} B={B} iters={iters} "
+          f"compile={compile_time:.1f}s run={dt:.2f}s", file=_sys.stderr)
 
 
 if __name__ == "__main__":

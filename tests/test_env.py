@@ -217,6 +217,134 @@ class TestVisionObs:
         assert norm[0, 0, 1] == pytest.approx((mid - raw[0, 0, 1]) / tick)
 
 
+class TestExecActionReshaping:
+    """fixed_prices reshaping + twapV3 (ref: vision_env.py:577-610)."""
+
+    def _exec_env(self, world_kw=None, **exec_kw):
+        env = make_env(world=small_world(**(world_kw or {})),
+                       agents=(MarketMakingConfig(),
+                               ExecutionConfig(**exec_kw)))
+        params = env.default_params
+        _, state = env.reset(KEY, params)
+        return env, params, state
+
+    def test_fixed_prices_step_env(self):
+        env, params, state = self._exec_env(action_space="fixed_prices",
+                                            n_actions=4)
+        actions = [jnp.asarray(0), jnp.array([3, 2, 1, 0], jnp.int32)]
+        _, s2, r, d, i = env.step_env(KEY, state, actions, params)
+        assert np.isfinite(np.asarray(r[1])).all()
+
+    def test_twap_v3_step_env(self):
+        env, params, state = self._exec_env(action_space="twap_v3")
+        actions = [jnp.asarray(0), jnp.asarray(0)]
+        _, s2, r, d, i = env.step_env(KEY, state, actions, params)
+        assert np.isfinite(np.asarray(r[1])).all()
+
+    def test_hamilton_truncation(self):
+        """round -> clip -> Hamilton when the action exceeds the remaining
+        task (ref: vision_env.py:596-604)."""
+        env, params, state = self._exec_env(action_space="fixed_prices",
+                                            n_actions=4, task_size=10)
+        agent = env.agent_types[1]
+        st = jax.tree.map(lambda v: v[0], state.agents[1])
+        st = st.replace(quant_executed=jnp.int32(3))  # remaining = 7
+        big = jnp.array([50, 30, 10, 10], jnp.int32)
+        out = agent._reshape_action(big, state.world, st, KEY)
+        out = np.asarray(out)
+        assert out.sum() == 7 and (out >= 0).all()
+        # proportional floor allocation is respected
+        assert out[0] >= out[2] and out[0] >= out[3]
+        small = jnp.array([2, 1, 0, 1], jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(agent._reshape_action(small, state.world, st, KEY)),
+            np.asarray(small))
+
+    def test_twap_v3_two_level_split(self):
+        # episode_time > 60 so the (seconds-denominated) market-order switch
+        # stays off at episode start (ref quirk: the switch compares seconds
+        # even for fixed_steps episodes, vision_env.py:580-582)
+        env, params, state = self._exec_env(
+            world_kw=dict(episode_time=100, start_resolution=100),
+            action_space="twap_v3", task_size=101)
+        agent = env.agent_types[1]
+        st = jax.tree.map(lambda v: v[0], state.agents[1])
+        world = state.world
+        q = agent._twap_v3_quants(world, st, KEY)
+        q = np.asarray(q)
+        steps_left = int(world.max_steps_in_episode - world.step_counter)
+        step_quant = int(np.ceil(101 / steps_left))
+        assert sorted(q.tolist()) == sorted(
+            [step_quant // 2, step_quant - step_quant // 2])
+
+    def test_twap_v3_market_order_switch(self):
+        """Both levels get the full step quant in the last 60 s
+        (ref: vision_env.py:579-592)."""
+        env, params, state = self._exec_env(
+            world_kw=dict(episode_time=100, start_resolution=100),
+            action_space="twap_v3", task_size=100)
+        agent = env.agent_types[1]
+        st = jax.tree.map(lambda v: v[0], state.agents[1])
+        world = state.world
+        # push time to within 60 s of the (time-denominated) episode end
+        near_end = world.init_time.at[0].add(env.wcfg.episode_time - 10)
+        world = world.replace(time=near_end)
+        q = np.asarray(agent._twap_v3_quants(world, st, KEY))
+        steps_left = int(world.max_steps_in_episode - world.step_counter)
+        step_quant = int(np.ceil(100 / steps_left))
+        assert (q == step_quant).all()
+
+    def test_delta_action_type_adds_twap_base(self):
+        env, params, state = self._exec_env(action_space="fixed_prices",
+                                            n_actions=2, action_type="delta",
+                                            task_size=500)
+        agent = env.agent_types[1]
+        st = jax.tree.map(lambda v: v[0], state.agents[1])
+        k_twap, _ = jax.random.split(KEY)
+        base = np.asarray(agent._twap_v3_quants(state.world, st, k_twap))
+        out = np.asarray(agent._reshape_action(
+            jnp.zeros((2,), jnp.int32), state.world, st, KEY))
+        np.testing.assert_array_equal(out, np.clip(base, 0, 500))
+
+    def test_fixed_prices_ladder_combines_mid_into_nt(self):
+        """n_actions=4 and mid == near touch folds the mid order into NT
+        (ref: vision_env.py:1219-1236)."""
+        env, params, state = self._exec_env(action_space="fixed_prices",
+                                            n_actions=4, task="buy")
+        agent = env.agent_types[1]
+        st = jax.tree.map(lambda v: v[0], state.agents[1])
+        world = state.world
+        tick = env.wcfg.tick_size
+        # bb=100_000, ba=100_100 -> mid floors to bb == NT (buy ladder)
+        n = world.best_asks.shape[0]
+        world = world.replace(
+            best_asks=jnp.tile(jnp.array([[100_100, 5]]), (n, 1)),
+            best_bids=jnp.tile(jnp.array([[100_000, 5]]), (n, 1)))
+        msgs = agent.get_action_msgs(jnp.array([4, 3, 2, 1], jnp.int32),
+                                     world, st, jax.tree.map(
+                                         lambda v: v[0], params.agents[1]))
+        msgs = np.asarray(msgs)
+        assert msgs[1, 3] == -1 and msgs[1, 2] == 0   # mid wiped
+        assert msgs[2, 2] == 5                        # 3 + 2 folded into NT
+        assert msgs[2, 3] == 100_000
+        assert msgs[0, 3] == 100_100                  # FT = best ask
+
+    def test_fixed_prices_ladder_uses_last10_mean(self):
+        env, params, state = self._exec_env(action_space="fixed_prices",
+                                            n_actions=2, task="buy")
+        agent = env.agent_types[1]
+        st = jax.tree.map(lambda v: v[0], state.agents[1])
+        world = state.world
+        n = world.best_asks.shape[0]
+        asks = jnp.tile(jnp.array([[100_000, 1]]), (n, 1))
+        asks = asks.at[-5:, 0].set(101_000)   # mean of last 10 = 100_500
+        world = world.replace(
+            best_asks=asks,
+            best_bids=jnp.tile(jnp.array([[99_000, 1]]), (n, 1)))
+        ladder = np.asarray(agent._fixed_prices_ladder(world, st))
+        assert ladder[0] == 100_500 and ladder[1] == 99_000
+
+
 class TestEpisodeSemantics:
     def test_fixed_time_episode(self):
         env = make_env(world=small_world(ep_type="fixed_time",

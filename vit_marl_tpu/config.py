@@ -105,8 +105,11 @@ class EngineConfig:
     Frozen + hashable so it can be a static jit argument.
     """
 
-    n_orders: int = 100           # capacity per book side
-    n_trades: int = 100           # trade-log capacity
+    # Capacities default to 128 (reference uses 100, jaxob_config.py:19-20):
+    # 128 is sublane-tile-aligned, which keeps the fused Pallas book kernel
+    # eligible (WorldEnv.pallas_ok) in every default/YAML config.
+    n_orders: int = 128           # capacity per book side
+    n_trades: int = 128           # trade-log capacity
     cancel_mode: int = CancelMode.INCLUDE_INITS
     simulator_mode: int = SimulatorMode.GENERAL_EXCHANGE
     init_id: int = INIT_ID
@@ -227,8 +230,13 @@ class ExecutionConfig:
     short_name: str = "EXE"
     task: str = "random"             # "random" | "buy" | "sell"
     # "fixed_quants" | "fixed_prices" | "fixed_quants_complex"
-    # | "simplest_case" | "fixed_quants_1msg" | "twap" | "policy_blending"
+    # | "simplest_case" | "fixed_quants_1msg" | "twap" | "twap_v3"
+    # | "policy_blending"
     action_space: str = "fixed_quants_complex"
+    # fixed_prices only: "pure" sends the action as quantities; "delta" adds
+    # the action to a twapV3 baseline (two-level permuted split, market-order
+    # switch in the last 60s; ref: vision_env.py:577-610, jaxob_config.py:107)
+    action_type: str = "pure"
     # "engineered" | "basic" | "simplest_case" | "execution_policy"
     observation_space: str = "engineered"
     reward_space: str = "normal"     # "normal"|"finish_fast"|"simplest_case"|"dual_ppo"
@@ -258,6 +266,7 @@ class ExecutionConfig:
             "simplest_case": 2,
             "fixed_quants_1msg": 1,
             "twap": 2,
+            "twap_v3": 2,
             "policy_blending": 4,
         }[self.action_space]
 
@@ -275,7 +284,8 @@ class ExecutionConfig:
             "fixed_prices": self.n_actions,
             "simplest_case": 3,
             "fixed_quants_1msg": 5,
-            "twap": 1,
+            "twap": 2,
+            "twap_v3": 1,
         }[self.action_space]
 
     @property
@@ -341,6 +351,13 @@ class TrainConfig:
     eval_every: int = 0
     eval_steps: int = 32
     eval_envs: int = 0               # 0 -> num_envs
+    # Held-out evaluation data (ref: ippo_rnn_JAXMARL.py:195-221 builds the
+    # eval env on a different timePeriod).  For LOBSTER data set a different
+    # time period; for synthetic data a different generator seed.  When both
+    # are unset and eval_every is on, a synthetic-data eval env defaults to
+    # seed+1 so periodic eval is never in-sample.
+    eval_time_period: str = ""
+    eval_data_seed: int = -1         # -1 -> auto (world seed + 1 on synthetic)
     vit_preset: str = "tiny"         # "tiny" | "small" | "base"
     seed: int = 30
     # distributed

@@ -32,6 +32,7 @@ from vit_marl_tpu.config import ExecutionConfig, WorldConfig
 from vit_marl_tpu.env import common, spaces
 from vit_marl_tpu.env.structs import ExecParams, ExecState, WorldState
 from vit_marl_tpu.lob import book as bk
+from vit_marl_tpu.utils.ints import hamilton_apportionment_permuted
 
 Array = jax.Array
 
@@ -40,6 +41,11 @@ class ExecutionAgent:
     def __init__(self, cfg: ExecutionConfig, wcfg: WorldConfig):
         self.cfg = cfg
         self.wcfg = wcfg
+        if cfg.action_type == "delta" and cfg.action_space == "fixed_prices":
+            # the twapV3 delta baseline is a 2-vector (FT, NT)
+            # (ref: vision_env.py:591-609)
+            assert cfg.n_actions == 2, (
+                "action_type='delta' requires n_actions=2 (FT, NT ladder)")
 
     # ------------------------------------------------------------------
     # Params / reset
@@ -181,13 +187,97 @@ class ExecutionAgent:
         quants = self._cap_quants(quants, quant_array[1], state)
         return self._make_msgs(world, state, params_i, quants, prices)
 
-    def _action_fixed_prices(self, action, world, state, params_i):
-        """Quantity per price level (ref: vision_env.py:1213-1327)"""
-        prices4 = self._task_prices(world, state)
+    def _fixed_prices_ladder(self, world: WorldState, state: ExecState
+                             ) -> Array:
+        """Price ladder for the fixed_prices space, built from the *mean of
+        the last 10* best quotes (ref: vision_env.py:1294-1306); size depends
+        on n_actions: 4 -> (FT, M, NT, PP), 3 -> (FT, NT, PP), 2 -> (FT, NT),
+        1 -> (FT,) (ref: vision_env.py:1252-1279)."""
+        tick = self.wcfg.tick_size
+        best_ask = jnp.int32(common.floor_tick(
+            world.best_asks[-10:, 0].mean(), tick))
+        best_bid = jnp.int32(common.floor_tick(
+            world.best_bids[-10:, 0].mean(), tick))
+
+        def buy():
+            FT = best_ask
+            M = common.floor_tick((best_bid + best_ask) // 2, tick)
+            NT = best_bid
+            PP = best_bid - tick * self.cfg.n_ticks_in_book
+            return jnp.stack([FT, M, NT, PP])
+
+        def sell():
+            FT = best_bid
+            M = (jnp.ceil((best_bid + best_ask) / 2 // tick)
+                 * tick).astype(jnp.int32)
+            NT = best_ask
+            PP = best_ask + tick * self.cfg.n_ticks_in_book
+            return jnp.stack([FT, M, NT, PP])
+
+        full = jax.lax.cond(state.is_sell_task, sell, buy).astype(jnp.int32)
         n = self.cfg.n_actions
-        prices = prices4[:n]
+        idx = {4: [0, 1, 2, 3], 3: [0, 2, 3], 2: [0, 2], 1: [0]}[n]
+        return full[jnp.array(idx)]
+
+    def _action_fixed_prices(self, action, world, state, params_i):
+        """Quantity per price level (ref: vision_env.py:1213-1327).
+
+        With n_actions == 4 and mid == near-touch, the mid order is folded
+        into the near-touch one (ref: vision_env.py:1219-1236)."""
+        prices = self._fixed_prices_ladder(world, state)
         quants = action.astype(jnp.int32)
+        if self.cfg.n_actions == 4:
+            combine = prices[1] == prices[2]
+            quants = jnp.where(
+                combine,
+                quants.at[2].add(quants[1]).at[1].set(0), quants)
+            prices = jnp.where(combine, prices.at[1].set(-1), prices)
         return self._make_msgs(world, state, params_i, quants, prices)
+
+    def _twap_v3_quants(self, world: WorldState, state: ExecState,
+                        key: Array) -> Array:
+        """twapV3 two-level split (ref: vision_env.py:578-593): a random
+        permutation of (ceil(q/steps) - q//2, q//2) across (FT, NT); switches
+        to two market-size orders in the last 60 seconds."""
+        remaining_time = (self.wcfg.episode_time
+                          - (world.time - world.init_time)[0])
+        if_market = remaining_time <= 60
+        quant_left = state.task_to_execute - state.quant_executed
+        steps_left = world.max_steps_in_episode - world.step_counter
+        step_quant = jnp.ceil(quant_left / steps_left).astype(jnp.int32)
+        limit_quants = jax.random.permutation(
+            key, jnp.stack([step_quant - step_quant // 2, step_quant // 2]),
+            independent=True)
+        market_quants = jnp.stack([step_quant, step_quant])
+        return jnp.where(if_market, market_quants, limit_quants)
+
+    def _action_twap_v3(self, action, world, state, params_i, key):
+        """twapV3 baseline as a standalone action space: two-level permuted
+        TWAP split over the (FT, NT) ladder with the last-minute market-order
+        switch (ref: vision_env.py:578-593); the policy action is ignored."""
+        prices4 = self._task_prices(world, state)
+        prices = jnp.stack([prices4[0], prices4[2]])  # (FT, NT)
+        quants = self._twap_v3_quants(world, state, key)
+        return self._make_msgs(world, state, params_i, quants, prices)
+
+    def _reshape_action(self, action, world, state, key):
+        """fixed_prices action post-processing (ref: vision_env.py:577-610):
+        'delta' adds the action to the twapV3 baseline; quantities are then
+        rounded, clipped to the remaining task, and — if they still exceed
+        it — truncated by randomized Hamilton apportionment.
+
+        RNG note: the reference reuses one key for the twapV3 permutation and
+        the Hamilton tie-break; we split (cleaner key discipline, same
+        per-use distribution)."""
+        k_twap, k_ham = jax.random.split(key)
+        if self.cfg.action_type == "delta":
+            action = self._twap_v3_quants(world, state, k_twap) + action
+        remain = state.task_to_execute - state.quant_executed
+        action = jnp.round(action).clip(0, remain).astype(jnp.int32)
+        return jnp.where(
+            action.sum() <= remain, action,
+            hamilton_apportionment_permuted(action, remain, k_ham)
+        ).astype(jnp.int32)
 
     def _action_twap(self, action, world, state, params_i):
         """TWAP baseline (ref: vision_env.py:1329-1424); fixed_steps only."""
@@ -236,7 +326,10 @@ class ExecutionAgent:
         prices = jnp.zeros((n,), jnp.int32).at[0:3].set(prices3)
         return self._make_msgs(world, state, params_i, quants, prices)
 
-    def get_action_msgs(self, action, world, state, params_i) -> Array:
+    def get_action_msgs(self, action, world, state, params_i,
+                        key=None) -> Array:
+        if self.cfg.action_space == "twap_v3":
+            return self._action_twap_v3(action, world, state, params_i, key)
         fn = {
             "fixed_quants": self._action_fixed_quants,
             "fixed_quants_complex": self._action_fixed_quants_complex,
@@ -248,9 +341,17 @@ class ExecutionAgent:
         }[self.cfg.action_space]
         return fn(action, world, state, params_i)
 
-    def get_messages(self, action, world, state, params_i) -> Tuple[Array, Array]:
-        """(ref: vision_env.py:1537-1587)"""
-        action_msgs = self.get_action_msgs(action, world, state, params_i)
+    def get_messages(self, action, world, state, params_i,
+                     key=None) -> Tuple[Array, Array]:
+        """(ref: vision_env.py:1537-1587; action reshaping from the
+        fork's _reshape_action, vision_env.py:577-610)"""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, k_reshape = jax.random.split(key)
+        if self.cfg.action_space == "fixed_prices":
+            action = self._reshape_action(action, world, state, k_reshape)
+        action_msgs = self.get_action_msgs(action, world, state, params_i,
+                                           key=key)
         side_sign = 1 - state.is_sell_task * 2
         book_side = jax.tree.map(
             lambda a, b: jnp.where(state.is_sell_task, a, b),

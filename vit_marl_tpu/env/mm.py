@@ -273,9 +273,10 @@ class MarketMakingAgent:
         return fn()
 
     def get_messages(self, action: Array, world: WorldState, state: MMState,
-                     params_i: MMParams) -> Tuple[Array, Array]:
+                     params_i: MMParams, key=None) -> Tuple[Array, Array]:
         """Action + cancel messages for one instance
-        (ref: mm_env.py:1554-1587)."""
+        (ref: mm_env.py:1554-1587).  ``key`` is part of the shared agent
+        interface (used by execution's randomized action reshaping)."""
         action_msgs = self.get_action_msgs(action, world, state, params_i)
         per_side = self.cfg.num_messages // 4
         cnl_bid = bk.make_cancel_msgs(world.bids, params_i.trader_id, per_side,

@@ -147,9 +147,11 @@ class WorldEnv:
             a = actions[i]
             if n == 1:
                 a = jnp.expand_dims(a, 0)  # single agents pass unbatched actions
+            key, k_type = jax.random.split(key)
+            inst_keys = jax.random.split(k_type, n)
             msgs_a, msgs_c = jax.vmap(
-                agent.get_messages, in_axes=(0, None, 0, 0))(
-                a, world, state.agents[i], params.agents[i])
+                agent.get_messages, in_axes=(0, None, 0, 0, 0))(
+                a, world, state.agents[i], params.agents[i], inst_keys)
             all_action.append(msgs_a.reshape(-1, 8))
             all_cancel.append(msgs_c.reshape(-1, 8))
         action_msgs = jnp.vstack(all_action)

@@ -85,6 +85,29 @@ def _dummy_obs(space, num_envs: int):
     return jnp.zeros((1, num_envs) + tuple(space.shape))
 
 
+def _make_eval_env(ma_config: MultiAgentConfig, cfg: TrainConfig,
+                   train_env: WorldEnv) -> WorldEnv:
+    """Held-out evaluation env (ref: ippo_rnn_JAXMARL.py:195-221 builds the
+    eval env on a different ``timePeriod``).
+
+    LOBSTER data: ``cfg.eval_time_period`` selects the held-out period.
+    Synthetic data: ``cfg.eval_data_seed`` (auto: world seed + 1) drives a
+    different generated day.  Falls back to the training env only when the
+    data source admits no held-out variant.
+    """
+    import dataclasses
+
+    wcfg = ma_config.world
+    if cfg.eval_time_period and wcfg.data_path:
+        ew = dataclasses.replace(wcfg, time_period=cfg.eval_time_period)
+        return WorldEnv(dataclasses.replace(ma_config, world=ew))
+    if not wcfg.data_path:  # synthetic: a different generator seed
+        seed = cfg.eval_data_seed if cfg.eval_data_seed >= 0 else wcfg.seed + 1
+        ew = dataclasses.replace(wcfg, seed=seed)
+        return WorldEnv(dataclasses.replace(ma_config, world=ew))
+    return train_env
+
+
 def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                env: Optional[WorldEnv] = None,
                logger: Optional[Logger] = None,
@@ -100,7 +123,7 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
     """
     env = env or WorldEnv(ma_config)
     if cfg.eval_every and eval_env is None:
-        eval_env = env  # same data; pass a held-out-period env to separate
+        eval_env = _make_eval_env(ma_config, cfg, env)
     logger = logger or Logger(cfg.log_backend, cfg.log_path)
     n_types = len(env.agent_types)
     num_actors = [n * cfg.num_envs for n in env.n_per_type]

@@ -28,6 +28,7 @@ def main():
     import yaml
 
     from vit_marl_tpu.config import make_config
+    from vit_marl_tpu.env import make_world_env
     from vit_marl_tpu.rl.ppo import make_train
     from vit_marl_tpu.utils.cache import enable_compilation_cache
 
@@ -53,7 +54,22 @@ def main():
     print(f"train: envs={train_config.num_envs} steps={train_config.num_steps} "
           f"updates={train_config.num_updates} networks={train_config.network}")
 
-    train = make_train(ma_config, train_config)
+    env = make_world_env(ma_config)
+    if jax.default_backend() == "tpu":
+        from vit_marl_tpu.ops.book_kernel import ENV_BLOCK
+        if not env.pallas_ok:
+            print("WARNING: fused Pallas book kernel DISABLED "
+                  f"(cancel_mode={ma_config.world.cancel_mode}, "
+                  f"n_orders={ma_config.world.n_orders} must be %8==0); "
+                  "training falls back to the slow XLA engine.")
+        elif train_config.num_envs % ENV_BLOCK != 0:
+            print(f"WARNING: NUM_ENVS={train_config.num_envs} is not a "
+                  f"multiple of {ENV_BLOCK}; the fused Pallas book kernel "
+                  "is DISABLED and training falls back to the XLA engine.")
+        else:
+            print("pallas book kernel: ENABLED")
+
+    train = make_train(ma_config, train_config, env=env)
     t0 = time.time()
     out = train(jax.random.PRNGKey(train_config.seed))
     wall = time.time() - t0
