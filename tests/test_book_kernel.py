@@ -1,8 +1,18 @@
-"""Differential test: the fused Pallas book kernel vs the XLA engine.
+"""Differential tests: the fused Pallas book kernel vs the XLA engine.
 
-Runs the kernel in interpreter mode on CPU; the same test drives the
-compiled kernel when a TPU is present (bit-equality of final books,
-best-price sequences, and trade logs).
+Runs the kernel in interpreter mode on CPU; the same tests drive the
+compiled kernel when a TPU is present.  Coverage:
+
+- bit-equality of final books, best-price sequences, and trade logs at the
+  baseline shape (single grid block, single record-DMA group);
+- M >= 48 so the double-buffered record-DMA group machinery (grp >= 2
+  waits, trailing flush, multi-group reshape) actually executes;
+- E = 256 (multi-block grid);
+- deep-sweep messages filling > 16 resting orders in one message, with
+  rec_k raised so the trade log stays exact;
+- rec_k truncation detectability via the raw fill-count output;
+- aggregate mode: in-kernel per-trader TradeSummary sums == summarizing the
+  XLA engine's trade log.
 """
 
 import jax
@@ -14,10 +24,15 @@ from functools import partial
 from vit_marl_tpu.config import EngineConfig
 from vit_marl_tpu.lob import book as bk
 from vit_marl_tpu.lob import engine as eng
-from vit_marl_tpu.env.common import ffill_best_prices
+from vit_marl_tpu.env.common import (
+    ffill_best_prices,
+    summarize_trades,
+    summary_from_aggs,
+)
 from vit_marl_tpu.ops.book_kernel import (
     ENV_BLOCK,
     pallas_process_step,
+    pallas_process_step_aggs,
     finalize_trade_log_from_records,
 )
 from vit_marl_tpu.utils.fixtures import (
@@ -27,15 +42,28 @@ from vit_marl_tpu.utils.fixtures import (
     random_message,
 )
 
+AGENT_TIDS = (-42, -43)
+TICK = 100
 
-@pytest.mark.slow
-def test_kernel_matches_xla_engine():
-    cfg = EngineConfig(n_orders=32, n_trades=32)
-    E, M = ENV_BLOCK, 12
-    rng = np.random.default_rng(0)
+
+def build_case(cfg, E, M, seed=0, percent_fill=0.3, deep_every=0,
+               agent_every=0):
+    """Batched random books + message streams.
+
+    deep_every > 0: every deep_every-th message is a huge aggressive order
+    sweeping many levels.  agent_every > 0: every agent_every-th message
+    carries an agent trader id, and a few standing orders are re-tagged as
+    agent orders (so both passive and aggressive agent fills occur).
+    """
+    rng = np.random.default_rng(seed)
     books, streams = [], []
     for e in range(E):
-        asks, bids, trades = random_book(cfg, rng, percent_fill=0.3)
+        asks, bids, trades = random_book(cfg, rng, percent_fill=percent_fill)
+        if agent_every:
+            for arr in (asks, bids):
+                occ = np.where(arr[:, 0] != -1)[0]
+                take = occ[:: max(len(occ) // 3, 1)][:4]
+                arr[take, 3] = AGENT_TIDS[e % len(AGENT_TIDS)]
         b = bk.BookState(
             asks=bk.side_from_dense(jnp.asarray(asks, jnp.int32)),
             bids=bk.side_from_dense(jnp.asarray(bids, jnp.int32)),
@@ -43,24 +71,35 @@ def test_kernel_matches_xla_engine():
         books.append(bk.canonicalize_book(b))
         ms = []
         for i in range(M):
-            r = rng.random()
-            if r < 0.5:
-                m = random_message(rng, time_s=34201 + i, oid=300 + e * 100 + i,
-                                   tid=300 + e * 100 + i, kind="limit")
-            elif r < 0.7:
+            oid = 300 + e * 1000 + i
+            if deep_every and i % deep_every == deep_every - 1:
                 m = random_aggressive_message(rng, asks, bids,
-                                              time_s=34201 + i,
-                                              oid=90000 + e * 100 + i,
-                                              quant_range=(1, 400))
-            elif r < 0.9:
-                m = random_cancel_for_book(rng, bids, 1, time_s=34201 + i)
+                                              time_s=34201 + i, oid=oid,
+                                              quant_range=(5_000, 40_000))
             else:
-                m = random_message(rng, time_s=34201 + i, kind="noop")
+                r = rng.random()
+                if r < 0.5:
+                    m = random_message(rng, time_s=34201 + i, oid=oid,
+                                       tid=oid, kind="limit")
+                elif r < 0.7:
+                    m = random_aggressive_message(rng, asks, bids,
+                                                  time_s=34201 + i, oid=oid,
+                                                  quant_range=(1, 400))
+                elif r < 0.9:
+                    m = random_cancel_for_book(rng, bids, 1, time_s=34201 + i)
+                else:
+                    m = random_message(rng, time_s=34201 + i, kind="noop")
+            if agent_every and i % agent_every == agent_every - 2 % agent_every:
+                m[5] = AGENT_TIDS[(e + i) % len(AGENT_TIDS)]
             ms.append(m)
         streams.append(ms)
     batched = jax.tree.map(lambda *v: jnp.stack(v), *books)
     msgs = jnp.asarray(np.array(streams), jnp.int32)
+    return batched, msgs
 
+
+def run_xla(cfg, msgs, batched, M):
+    E = msgs.shape[0]
     keys = jax.random.split(jax.random.PRNGKey(0), E)
     xla_book, (xa, xb) = jax.jit(jax.vmap(
         partial(eng.process_messages_save_bidask, cfg, n_last=M),
@@ -68,18 +107,98 @@ def test_kernel_matches_xla_engine():
     prev = jnp.full((E, 2), 12_345, jnp.int32)
     xa = jax.vmap(ffill_best_prices)(xa, prev[:, 0])
     xb = jax.vmap(ffill_best_prices)(xb, prev[:, 1])
+    return xla_book, xa, xb, prev
+
+
+def assert_books_equal(a: bk.BookState, b: bk.BookState):
+    for x, y in zip(jax.tree.leaves((a.asks, a.bids)),
+                    jax.tree.leaves((b.asks, b.bids))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("E,M,deep,rec_k,percent_fill", [
+    (ENV_BLOCK, 12, 0, 16, 0.3),       # baseline: 1 block, 1 DMA group
+    (ENV_BLOCK, 48, 0, 16, 0.3),       # 3 DMA groups: double-buffer machinery
+    (2 * ENV_BLOCK, 48, 0, 16, 0.3),   # multi-block grid
+    (ENV_BLOCK, 20, 5, 64, 0.8),       # deep sweeps >16 fills, rec_k raised
+])
+def test_kernel_matches_xla_engine(E, M, deep, rec_k, percent_fill):
+    cfg = EngineConfig(n_orders=64, n_trades=256)
+    batched, msgs = build_case(cfg, E, M, percent_fill=percent_fill,
+                               deep_every=deep)
+    xla_book, xa, xb, prev = run_xla(cfg, msgs, batched, M)
 
     interpret = jax.default_backend() != "tpu"
     pal_book, (pa, pb), (recs, counts) = pallas_process_step(
-        cfg, msgs, batched, prev, interpret)
+        cfg, msgs, batched, prev, interpret, rec_k)
     trades = jax.vmap(finalize_trade_log_from_records)(
-        batched.trades, recs, msgs)
+        batched.trades, recs, msgs, counts)
 
-    for a, b in zip(jax.tree.leaves((xla_book.asks, xla_book.bids)),
-                    jax.tree.leaves((pal_book.asks, pal_book.bids))):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_books_equal(xla_book, pal_book)
     np.testing.assert_array_equal(np.asarray(xa), np.asarray(pa))
     np.testing.assert_array_equal(np.asarray(xb), np.asarray(pb))
     np.testing.assert_array_equal(np.asarray(xla_book.trades),
                                   np.asarray(trades))
-    assert int(np.asarray(counts).max()) <= 16
+    if deep:
+        # the deep case must actually exercise > default-REC_K fills
+        assert int(np.asarray(counts).max()) > 16
+
+
+@pytest.mark.slow
+def test_rec_k_truncation_is_detectable():
+    """With default rec_k, deep sweeps truncate records but (a) the book is
+    still exact and (b) the raw fill counts expose the truncation."""
+    cfg = EngineConfig(n_orders=64, n_trades=256)
+    batched, msgs = build_case(cfg, ENV_BLOCK, 20, percent_fill=0.8,
+                               deep_every=5)
+    xla_book, xa, xb, prev = run_xla(cfg, msgs, batched, 20)
+    interpret = jax.default_backend() != "tpu"
+    pal_book, _, (recs, counts) = pallas_process_step(
+        cfg, msgs, batched, prev, interpret)
+    assert_books_equal(xla_book, pal_book)          # book exact regardless
+    assert int(np.asarray(counts).max()) > 16       # truncation detectable
+    rec_valid = (np.asarray(recs)[:, :, :, 0] != -1).sum(axis=2)
+    assert rec_valid.max() == 16                    # records capped
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("E,M,deep,percent_fill", [
+    (ENV_BLOCK, 24, 0, 0.3),
+    (ENV_BLOCK, 20, 5, 0.8),           # deep sweeps: aggregates stay exact
+    (2 * ENV_BLOCK, 32, 8, 0.5),       # multi-block
+])
+def test_kernel_aggregates_match_trade_log_summaries(E, M, deep,
+                                                     percent_fill):
+    """Aggregate mode == summarize_trades over the XLA engine's trade log
+    (which is exact here: n_trades is large enough to hold every fill)."""
+    cfg = EngineConfig(n_orders=64, n_trades=4096)
+    batched, msgs = build_case(cfg, E, M, percent_fill=percent_fill,
+                               deep_every=deep, agent_every=3)
+    xla_book, xa, xb, prev = run_xla(cfg, msgs, batched, M)
+    # the log must not have overflowed, else the comparison is invalid
+    n_filled = (np.asarray(xla_book.trades)[:, :, 0] != -1).sum(axis=1)
+    assert n_filled.max() < cfg.n_trades
+
+    interpret = jax.default_backend() != "tpu"
+    tids = jnp.asarray(AGENT_TIDS, jnp.int32)
+    pal_book, (pa, pb), (per_agent, totals) = pallas_process_step_aggs(
+        cfg, msgs, batched, tids, prev, TICK, interpret)
+
+    assert_books_equal(xla_book, pal_book)
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(pa))
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(pb))
+
+    got = summary_from_aggs(
+        per_agent, jnp.broadcast_to(totals[:, None, :],
+                                    (E, len(AGENT_TIDS), 2)))  # (E, n_agg)
+    for k, tid in enumerate(AGENT_TIDS):
+        want = jax.vmap(summarize_trades, in_axes=(0, None, None))(
+            xla_book.trades, jnp.int32(tid), TICK)
+        for name, w, g in zip(want._fields, want,
+                              jax.tree.map(lambda v: v[:, k], got)):
+            np.testing.assert_array_equal(
+                np.asarray(w), np.asarray(g), err_msg=name)
+    # at least some agent activity must have occurred for the test to bite
+    assert int(np.asarray(got.agent_quant_abs).sum()) > 0
+    assert int(np.asarray(got.total_quant).sum()) > 0

@@ -345,6 +345,51 @@ class TestExecActionReshaping:
         assert ladder[0] == 100_500 and ladder[1] == 99_000
 
 
+class TestPallasAggregatePath:
+    """step_vec's fused-kernel aggregate path == the XLA trade-log path."""
+
+    @pytest.mark.slow
+    def test_step_vec_aggs_matches_xla(self):
+        def build(force):
+            env = make_env(world=small_world(n_orders=32, n_trades=32,
+                                             n_data_msg_per_step=10))
+            env._force_pallas_interpret = force
+            return env
+
+        env_x, env_p = build(False), build(True)
+        assert not env_x.pallas_ok and env_p.pallas_ok
+        params = env_x.default_params
+        E = 128  # ENV_BLOCK
+        keys = jax.random.split(KEY, E)
+        obs, state = jax.vmap(env_x.reset, in_axes=(0, None))(keys, params)
+        acts = [jnp.zeros((E,), jnp.int32), jnp.ones((E,), jnp.int32)]
+        step_key = jax.random.PRNGKey(7)
+        ox, sx, rx, dx, ix = env_x.step_vec(step_key, state, acts, params)
+        op, sp, rp, dp, ip = env_p.step_vec(step_key, state, acts, params)
+
+        for i in range(2):
+            np.testing.assert_allclose(np.asarray(rx[i]), np.asarray(rp[i]),
+                                       rtol=1e-6, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(dx["agents"][i]),
+                                          np.asarray(dp["agents"][i]))
+        # books and best-price histories identical
+        for a, b in zip(jax.tree.leaves((sx.world.asks, sx.world.bids,
+                                         sx.world.best_asks,
+                                         sx.world.best_bids)),
+                        jax.tree.leaves((sp.world.asks, sp.world.bids,
+                                         sp.world.best_asks,
+                                         sp.world.best_bids))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # agent states identical (inventory/PnL/quant_executed all flow
+        # through the summary-based rewards)
+        for a, b in zip(jax.tree.leaves(sx.agents), jax.tree.leaves(sp.agents)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(ox), jax.tree.leaves(op)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-5)
+
+
 class TestEpisodeSemantics:
     def test_fixed_time_episode(self):
         env = make_env(world=small_world(ep_type="fixed_time",

@@ -106,6 +106,146 @@ def extract_trade_stats(trades: Array, trader_id: Array) -> TradeStats:
                       buy_quant - sell_quant)
 
 
+class TradeSummary(NamedTuple):
+    """Linear per-agent trade statistics — the complete reward interface.
+
+    Every reward space (MM and exec, ref: mm_env.py:1940-2298,
+    vision_env.py:2063-2277) is *linear* in these sums, so they can be
+    produced either from the step's trade log (:func:`summarize_trades`)
+    or directly by the fused Pallas kernel's in-kernel per-trader
+    aggregation (ops.book_kernel aggregate mode) without materialising a
+    trade log at all.  Integer sums use int32, matching the XLA reward
+    path's dtype semantics.
+    """
+
+    buy_quant: Array      # sum |q| over this agent's buy fills
+    sell_quant: Array     # sum |q| over this agent's sell fills
+    buy_pq: Array         # sum price*|q| over buys (raw price units)
+    sell_pq: Array
+    buy_pq_tick: Array    # sum (price//tick)*|q| over buys
+    sell_pq_tick: Array
+    # once-per-row sums over the agent's trades.  A self-trade (agent on
+    # both sides of a fill) appears in BOTH buy_* and sell_* (reference
+    # mask semantics) but only once here (reference row-wise reductions).
+    agent_quant_abs: Array   # sum |q|
+    agent_pq: Array          # sum price*|q|
+    agent_pq_tick: Array     # sum (price//tick)*|q|
+    # sum trades[:, -2]*|q| over agent trades.  Column -2 is passive_tid;
+    # the reference's trade_duration multiplies by it (vision_env.py:2247),
+    # reproduced for parity.
+    dur_wsum: Array
+    signed_sum: Array     # sum of *signed* trade quants over agent trades
+    total_quant: Array    # sum |q| over ALL executed trades this step
+    total_pq_tick: Array  # sum (price//tick)*|q| over ALL executed trades
+
+    @property
+    def traded_volume(self) -> Array:
+        """buy+sell volume (double-counts self-trades like the reference's
+        extract-stats path, mm_env.py:1906-1937)."""
+        return self.buy_quant + self.sell_quant
+
+    @property
+    def inventory_delta(self) -> Array:
+        return self.buy_quant - self.sell_quant
+
+    @property
+    def other_quant(self) -> Array:
+        return self.total_quant - self.agent_quant_abs
+
+    @property
+    def other_pq_tick(self) -> Array:
+        return self.total_pq_tick - self.agent_pq_tick
+
+
+def summarize_trades(trades: Array, trader_id: Array, tick: int
+                     ) -> TradeSummary:
+    """Build a :class:`TradeSummary` from a step's trade log."""
+    executed = jnp.where((trades[:, TradeCol.PRICE] >= 0)[:, None], trades, 0)
+    q_signed = executed[:, TradeCol.QUANT]
+    q = jnp.abs(q_signed)
+    p = executed[:, TradeCol.PRICE]
+    is_pass = trader_id == executed[:, TradeCol.PASS_TID]
+    is_agr = trader_id == executed[:, TradeCol.AGR_TID]
+    mine = is_pass | is_agr
+    mask_buy = mine & (((q_signed >= 0) & is_pass) | ((q_signed < 0) & is_agr))
+    mask_sell = mine & (((q_signed < 0) & is_pass) | ((q_signed >= 0) & is_agr))
+    pt = p // tick
+
+    def msum(mask, v):
+        return jnp.sum(jnp.where(mask, v, 0))
+
+    return TradeSummary(
+        buy_quant=msum(mask_buy, q),
+        sell_quant=msum(mask_sell, q),
+        buy_pq=msum(mask_buy, p * q),
+        sell_pq=msum(mask_sell, p * q),
+        buy_pq_tick=msum(mask_buy, pt * q),
+        sell_pq_tick=msum(mask_sell, pt * q),
+        agent_quant_abs=msum(mine, q),
+        agent_pq=msum(mine, p * q),
+        agent_pq_tick=msum(mine, pt * q),
+        dur_wsum=msum(mine, executed[:, TradeCol.PASS_TID] * q),
+        signed_sum=jnp.sum(jnp.where(mine, q_signed, 0)),
+        total_quant=jnp.sum(q),
+        total_pq_tick=jnp.sum(pt * q),
+    )
+
+
+def summary_from_aggs(per_agent: Array, totals: Array) -> TradeSummary:
+    """TradeSummary from the fused kernel's aggregate planes.
+
+    ``per_agent`` has the 11 AGG_STATS in the kernel's bump order — which is
+    exactly TradeSummary field order — on the last axis; ``totals`` carries
+    (total_quant, total_pq_tick).  Leading axes (env batch, agent instances)
+    pass through.
+    """
+    parts = [per_agent[..., i] for i in range(per_agent.shape[-1])]
+    return TradeSummary(*parts, totals[..., 0], totals[..., 1])
+
+
+def summary_add_trade(s: TradeSummary, enabled: Array, trader_id: Array,
+                      price: Array, quant_signed: Array, pass_tid: Array,
+                      agr_tid: Array, tick: int) -> TradeSummary:
+    """Fold one (artificial) trade row into a summary when ``enabled``.
+
+    Analytic equivalent of ``add_artificial_trade`` + re-summarize, used for
+    the episode-end unwind/doom trade (ref: mm_env.py:1988-2013,
+    vision_env.py:2120-2146).  Divergence note: the log-based path overwrites
+    the last log row when the trade log is full; the analytic fold always
+    adds (strictly more faithful to the trade that economically happened).
+    """
+    price = jnp.asarray(price, jnp.int32)
+    quant_signed = jnp.asarray(quant_signed, jnp.int32)
+    q = jnp.abs(quant_signed)
+    is_pass = trader_id == pass_tid
+    is_agr = trader_id == agr_tid
+    mine = is_pass | is_agr
+    is_buy = mine & (((quant_signed >= 0) & is_pass)
+                     | ((quant_signed < 0) & is_agr))
+    is_sell = mine & (((quant_signed < 0) & is_pass)
+                      | ((quant_signed >= 0) & is_agr))
+    pt = price // tick
+
+    def add(cur, cond, v):
+        return cur + jnp.where(enabled & cond, v, 0)
+
+    return TradeSummary(
+        buy_quant=add(s.buy_quant, is_buy, q),
+        sell_quant=add(s.sell_quant, is_sell, q),
+        buy_pq=add(s.buy_pq, is_buy, price * q),
+        sell_pq=add(s.sell_pq, is_sell, price * q),
+        buy_pq_tick=add(s.buy_pq_tick, is_buy, pt * q),
+        sell_pq_tick=add(s.sell_pq_tick, is_sell, pt * q),
+        agent_quant_abs=add(s.agent_quant_abs, mine, q),
+        agent_pq=add(s.agent_pq, mine, price * q),
+        agent_pq_tick=add(s.agent_pq_tick, mine, pt * q),
+        dur_wsum=add(s.dur_wsum, mine, pass_tid * q),
+        signed_sum=add(s.signed_sum, mine, quant_signed),
+        total_quant=add(s.total_quant, True, q),
+        total_pq_tick=add(s.total_pq_tick, True, pt * q),
+    )
+
+
 def floor_tick(x: Array, tick: int) -> Array:
     """Floor a price to the tick grid (the reference's ubiquitous
     ``// tick * tick``)."""

@@ -367,15 +367,26 @@ class ExecutionAgent:
 
     def get_reward(self, world: WorldState, state: ExecState,
                    params_i: ExecParams, trades: Array, bestasks: Array,
-                   bestbids: Array, time: Array
+                   bestbids: Array, time: Array,
+                   summary: common.TradeSummary = None
                    ) -> Tuple[Array, Dict[str, Array]]:
         """Doom trade + reward (ref: vision_env.py:2063-2277 dual_ppo;
-        exec_env.py:1698-1930 normal/finish_fast/simplest_case)."""
+        exec_env.py:1698-1930 normal/finish_fast/simplest_case).
+
+        All reward formulas are expressed over :class:`common.TradeSummary`
+        sums.  ``summary`` is normally derived from the step's trade log;
+        the fused Pallas aggregate path passes it directly (in which case
+        ``trades`` may be a dummy log).
+        """
         cfg, wcfg = self.cfg, self.wcfg
         tick = wcfg.tick_size
 
-        agent_trades0 = bk.get_agent_trades(trades, params_i.trader_id)
-        quant_this_step = jnp.abs(agent_trades0[:, 1].sum())
+        if summary is None:
+            summary = common.summarize_trades(trades, params_i.trader_id,
+                                              tick)
+        # reference quirk: quant executed this step is |sum of signed
+        # quants|, not sum of |quants| (ref: vision_env.py:2077)
+        quant_this_step = jnp.abs(summary.signed_sum)
         quant_left0 = state.task_to_execute - (state.quant_executed
                                                + quant_this_step)
 
@@ -392,24 +403,22 @@ class ExecutionAgent:
             common.floor_tick(bestasks[-1, 0] * (1 + penalty), tick)
         ).astype(jnp.int32)
         side_sign = state.is_sell_task * 2 - 1
-        trades = jnp.where(
-            ep_is_over & (jnp.abs(quant_left0) > 0),
-            common.add_artificial_trade(
-                wcfg, trades, doom_price,
-                (side_sign * jnp.abs(quant_left0)).astype(jnp.int32), time,
-                params_i.trader_id),
-            trades)
+        s = common.summary_add_trade(
+            summary, ep_is_over & (jnp.abs(quant_left0) > 0),
+            params_i.trader_id, doom_price,
+            (side_sign * jnp.abs(quant_left0)).astype(jnp.int32),
+            pass_tid=jnp.asarray(wcfg.artificial_id_end_episode, jnp.int32),
+            agr_tid=params_i.trader_id, tick=tick)
         doom_quant = ep_is_over * quant_left0
 
-        stats = common.extract_trade_stats(trades, params_i.trader_id)
-        agentTrades, otherTrades = stats.agent_trades, stats.other_trades
-        agentQuant = jnp.abs(agentTrades[:, 1]).sum()
+        agentQuant = s.agent_quant_abs
         direction = jnp.sign(state.is_sell_task * 2 - 1)
-        revenue = (agentTrades[:, 0] // tick * jnp.abs(agentTrades[:, 1])).sum()
+        revenue = s.agent_pq_tick
         rm = lambda avg, new: common.rolling_mean(avg, new, world.step_counter)
 
-        trade_duration_step = (jnp.abs(agentTrades[:, 1]) / state.task_to_execute
-                               * (agentTrades[:, -2] - world.init_time[0])).sum()
+        trade_duration_step = ((s.dur_wsum
+                                - world.init_time[0] * agentQuant)
+                               / state.task_to_execute)
         trade_duration = state.trade_duration + trade_duration_step
         quant_left = state.task_to_execute - state.quant_executed - agentQuant
 
@@ -436,12 +445,11 @@ class ExecutionAgent:
             reward_scaled = reward
         else:
             # legacy path (ref: exec_env.py:1751-1930)
-            other_q = jnp.abs(otherTrades[:, 1]).sum()
+            other_q = s.other_quant
             vwap = jnp.where(
                 other_q == 0,
                 state.init_price / tick,
-                (otherTrades[:, 0] // tick * jnp.abs(otherTrades[:, 1])).sum()
-                / jnp.maximum(other_q, 1))
+                s.other_pq_tick / jnp.maximum(other_q, 1))
             vwap_rm = rm(state.vwap_rm, vwap)
             price_adv_rm = rm(state.price_adv_rm,
                               revenue / (agentQuant + 0.001) - vwap)
@@ -459,10 +467,8 @@ class ExecutionAgent:
                 reward = -jnp.abs(quant_left)
                 reward_scaled = reward / 10
             elif cfg.reward_space == "simplest_case":
-                price_slip = agentTrades[:, 0] - state.init_price
-                price_slip = jnp.where(state.is_sell_task, price_slip,
-                                       -price_slip)
-                reward = jnp.dot(price_slip, jnp.abs(agentTrades[:, 1]))
+                sign = jnp.where(state.is_sell_task, 1.0, -1.0)
+                reward = sign * (s.agent_pq - state.init_price * agentQuant)
                 reward_scaled = reward / cfg.task_size
 
         extras = {

@@ -292,13 +292,19 @@ class MarketMakingAgent:
 
     def get_reward(self, world: WorldState, state: MMState, params_i: MMParams,
                    trades: Array, bestasks: Array, bestbids: Array,
-                   time: Array) -> Tuple[Array, Dict[str, Array]]:
-        """All MM reward spaces (ref: mm_env.py:1940-2298)."""
+                   time: Array, summary: common.TradeSummary = None
+                   ) -> Tuple[Array, Dict[str, Array]]:
+        """All MM reward spaces (ref: mm_env.py:1940-2298), expressed over
+        :class:`common.TradeSummary` sums.  ``summary`` is normally derived
+        from the step's trade log; the fused Pallas aggregate path passes it
+        directly (in which case ``trades`` may be a dummy log)."""
         cfg, wcfg = self.cfg, self.wcfg
         tick = wcfg.tick_size
 
-        stats0 = common.extract_trade_stats(trades, params_i.trader_id)
-        inv_before = state.inventory + stats0.inventory_delta
+        if summary is None:
+            summary = common.summarize_trades(trades, params_i.trader_id,
+                                              tick)
+        inv_before = state.inventory + summary.inventory_delta
 
         if wcfg.ep_type == "fixed_time":
             remaining = wcfg.episode_time - (time - world.init_time)[0]
@@ -320,20 +326,17 @@ class MarketMakingAgent:
                             else averageMidprice)
         else:
             unwind_price = FT_price
-        trades = jnp.where(
-            ep_is_over & (jnp.abs(inv_before) > 0),
-            common.add_artificial_trade(
-                wcfg, trades, jnp.asarray(unwind_price).astype(jnp.int32),
-                (jnp.sign(inv_before) * jnp.abs(inv_before)).astype(jnp.int32),
-                time, params_i.trader_id),
-            trades)
-
-        st = common.extract_trade_stats(trades, params_i.trader_id)
+        st = common.summary_add_trade(
+            summary, ep_is_over & (jnp.abs(inv_before) > 0),
+            params_i.trader_id, jnp.asarray(unwind_price).astype(jnp.int32),
+            (jnp.sign(inv_before) * jnp.abs(inv_before)).astype(jnp.int32),
+            pass_tid=jnp.asarray(wcfg.artificial_id_end_episode, jnp.int32),
+            agr_tid=params_i.trader_id, tick=tick)
         new_inventory = state.inventory + st.inventory_delta
 
         mid_price_end = (bestbids[-1][0] + bestasks[-1][0]) / 2
-        income = (st.agent_sells[:, 0] * jnp.abs(st.agent_sells[:, 1])).sum()
-        outgoing = (st.agent_buys[:, 0] * jnp.abs(st.agent_buys[:, 1])).sum()
+        income = st.sell_pq
+        outgoing = st.buy_pq
         PnL = (income - outgoing) / tick
 
         if cfg.reference_price_portfolio_value == "mid":
@@ -350,19 +353,16 @@ class MarketMakingAgent:
         new_cash_balance = state.cash_balance + PnL
         inventoryValue = new_inventory * reference_price
         netWorth = new_cash_balance + inventoryValue
-        other_exec_quants = jnp.abs(st.other_trades[:, 1]).sum()
-        market_share = st.traded_volume / (st.traded_volume + other_exec_quants)
+        other_exec_quants = st.other_quant
+        traded_volume = st.traded_volume
+        market_share = traded_volume / (traded_volume + other_exec_quants)
 
         InventoryPnL = state.inventory * (mid_price_end - world.mid_price) / tick
         buy_ref = last_mid_price if cfg.based_on_mid_price_of_action else averageMidprice
-        buyPnL = ((buy_ref - st.agent_buys[:, 0])
-                  * jnp.abs(st.agent_buys[:, 1])).sum() / tick
-        sellPnL = ((st.agent_sells[:, 0] - buy_ref)
-                   * jnp.abs(st.agent_sells[:, 1])).sum() / tick
-        aggr_buyPnL = ((bestasks[-1][0] - st.agent_buys[:, 0])
-                       * jnp.abs(st.agent_buys[:, 1])).sum() / tick
-        aggr_sellPnL = ((st.agent_sells[:, 0] - bestbids[-1][0])
-                        * jnp.abs(st.agent_sells[:, 1])).sum() / tick
+        buyPnL = (buy_ref * st.buy_quant - st.buy_pq) / tick
+        sellPnL = (st.sell_pq - buy_ref * st.sell_quant) / tick
+        aggr_buyPnL = (bestasks[-1][0] * st.buy_quant - st.buy_pq) / tick
+        aggr_sellPnL = (st.sell_pq - bestbids[-1][0] * st.sell_quant) / tick
 
         reward_spooner = (aggr_buyPnL + aggr_sellPnL + InventoryPnL
                           - jnp.maximum(0, InventoryPnL))
@@ -377,11 +377,9 @@ class MarketMakingAgent:
                                     * jnp.maximum(0, InventoryPnL)))
 
         avg_buy = jnp.where(st.buy_quant > 0,
-                            (st.agent_buys[:, 0] / st.buy_quant
-                             * jnp.abs(st.agent_buys[:, 1])).sum(), 0)
+                            st.buy_pq / jnp.maximum(st.buy_quant, 1), 0)
         avg_sell = jnp.where(st.sell_quant > 0,
-                             (st.agent_sells[:, 0] / st.sell_quant
-                              * jnp.abs(st.agent_sells[:, 1])).sum(), 0)
+                             st.sell_pq / jnp.maximum(st.sell_quant, 1), 0)
         approx_realized = jnp.minimum(st.buy_quant, st.sell_quant) \
             * (avg_sell - avg_buy) / tick
         approx_unrealized = jnp.where(

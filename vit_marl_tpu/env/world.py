@@ -62,6 +62,9 @@ class WorldEnv:
             acfg.num_action_messages * n
             for acfg, n in zip(ma_config.agents, self.n_per_type))
         key = key if key is not None else jax.random.PRNGKey(self.wcfg.seed)
+        # test hook: run the fused Pallas step in interpreter mode on CPU
+        # (set immediately after construction, before the first jitted step)
+        self._force_pallas_interpret = False
         self._world_params = env_base.make_world_params(self.wcfg, key, data)
         self.n_windows = int(
             self._world_params.init_states.window_index.shape[0])
@@ -173,9 +176,14 @@ class WorldEnv:
     def _post_engine(self, state: MultiAgentState, params: MultiAgentParams,
                      book: bk.BookState, bestasks: Array, bestbids: Array,
                      combined: Array, lob_state_before, new_id_counter,
-                     skip_ffill: bool = False):
+                     summaries=None, skip_ffill: bool = False):
         """Stages E-K: rewards, state updates, dones, infos, observations
-        (ref: marl_env.py:420-662)."""
+        (ref: marl_env.py:420-662).
+
+        ``summaries``: optional per-type list of TradeSummary pytrees (one
+        instance axis per leaf) from the fused kernel's aggregate mode; when
+        given, rewards consume the sums directly and the trade log is never
+        read."""
         wcfg = self.wcfg
         world = state.world
         if not skip_ffill:
@@ -185,11 +193,18 @@ class WorldEnv:
 
         rewards, extras_list = [], []
         for i, agent in enumerate(self.agent_types):
-            r, ex = jax.vmap(
-                agent.get_reward,
-                in_axes=(None, 0, 0, None, None, None, None))(
-                world, state.agents[i], params.agents[i], book.trades,
-                bestasks, bestbids, final_time)
+            if summaries is None:
+                r, ex = jax.vmap(
+                    agent.get_reward,
+                    in_axes=(None, 0, 0, None, None, None, None))(
+                    world, state.agents[i], params.agents[i], book.trades,
+                    bestasks, bestbids, final_time)
+            else:
+                r, ex = jax.vmap(
+                    agent.get_reward,
+                    in_axes=(None, 0, 0, None, None, None, None, 0))(
+                    world, state.agents[i], params.agents[i], book.trades,
+                    bestasks, bestbids, final_time, summaries[i])
             rewards.append(r)
             extras_list.append(ex)
 
@@ -276,10 +291,10 @@ class WorldEnv:
 
     @property
     def pallas_ok(self) -> bool:
-        from vit_marl_tpu.ops.book_kernel import ENV_BLOCK
         return (self.wcfg.cancel_mode <= 1
                 and self.wcfg.n_orders % 8 == 0
-                and jax.default_backend() == "tpu")
+                and (jax.default_backend() == "tpu"
+                     or self._force_pallas_interpret))
 
     @partial(jax.jit, static_argnums=(0,))
     def step_vec(self, key: Array, states: MultiAgentState,
@@ -290,10 +305,12 @@ class WorldEnv:
         kernel over the whole batch when eligible (TPU, deterministic cancel
         modes, batch a multiple of 128), else the vmapped XLA scan.
         """
+        from vit_marl_tpu.env.common import summary_from_aggs
         from vit_marl_tpu.ops.book_kernel import (
             ENV_BLOCK,
             finalize_trade_log_from_records,
             pallas_process_step,
+            pallas_process_step_aggs,
         )
 
         wcfg = self.wcfg
@@ -310,14 +327,34 @@ class WorldEnv:
             asks=states.world.asks, bids=states.world.bids,
             trades=jnp.broadcast_to(bk.init_trades(wcfg.n_trades),
                                     (E, wcfg.n_trades, 8)))
+        summaries = None
         if self.pallas_ok and E % ENV_BLOCK == 0:
             prev = jnp.stack([states.world.best_asks[:, -1, 0],
                               states.world.best_bids[:, -1, 0]], axis=1)
-            book, (bestasks, bestbids), (recs, counts) = pallas_process_step(
-                wcfg, combined, book0, prev)
-            trades = jax.vmap(finalize_trade_log_from_records)(
-                book0.trades, recs, combined, counts)
-            book = book.replace(trades=trades)
+            interp = self._force_pallas_interpret
+            if wcfg.debug_mode:
+                # debug wants a full trade log: records path (fills per
+                # message capped at REC_K; counts expose truncation)
+                book, (bestasks, bestbids), (recs, counts) = \
+                    pallas_process_step(wcfg, combined, book0, prev, interp)
+                trades = jax.vmap(finalize_trade_log_from_records)(
+                    book0.trades, recs, combined, counts)
+                book = book.replace(trades=trades)
+            else:
+                # training hot path: exact in-kernel per-trader aggregates —
+                # no records DMA, no trade-log finalize, rewards consume sums
+                tids = jnp.concatenate(
+                    [jnp.atleast_1d(p.trader_id) for p in params.agents])
+                book, (bestasks, bestbids), (per_agent, totals) = \
+                    pallas_process_step_aggs(wcfg, combined, book0, tids,
+                                             prev, wcfg.tick_size, interp)
+                summaries, off = [], 0
+                for n in self.n_per_type:
+                    summaries.append(summary_from_aggs(
+                        per_agent[:, off:off + n],
+                        jnp.broadcast_to(totals[:, None, :],
+                                         (E, n, totals.shape[-1]))))
+                    off += n
             ffill_done = True
         else:
             ffill_done = False
@@ -329,9 +366,10 @@ class WorldEnv:
         post = partial(self._post_engine, skip_ffill=ffill_done)
         obs_st, st_st, rewards, dones, infos = jax.vmap(
             post, in_axes=(0, None, 0, 0, 0, 0,
-                           0 if lob_before is not None else None, 0))(
+                           0 if lob_before is not None else None, 0,
+                           None if summaries is None else 0))(
             states, params, book, bestasks, bestbids, combined, lob_before,
-            new_id_counter)
+            new_id_counter, summaries)
 
         # vectorized auto-reset (ref: marl_env.py:737-766)
         reset_keys = jax.random.split(key_reset, E)

@@ -69,19 +69,48 @@ def _last_idx(mask: Array, default: int) -> Array:
 REC_GROUP = 16       # messages per record-DMA (amortises DMA overhead)
 REC_K = 16           # max recorded fills per message (in-kernel compaction)
 
+# per-agent aggregate stat planes (mirrors env.common.TradeSummary)
+AGG_STATS = 11       # buy_q, sell_q, buy_pq, sell_pq, buy_pqt, sell_pqt,
+#                      a_q, a_pq, a_pqt, dur, signed
+AGG_TOTALS = 2       # total_q, total_pq_tick
 
-def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int):
+
+def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
+                 n_agg: int = 0, want_records: bool = True, tick: int = 100,
+                 rec_k: int = REC_K):
+    """Build the fused scan kernel.
+
+    Two trade outputs, either or both:
+    - ``want_records``: per-message rank-compacted match records streamed to
+      HBM (trade-log reconstruction; capped at REC_K fills per message);
+    - ``n_agg > 0``: exact in-kernel per-trader aggregate sums in VMEM (the
+      TradeSummary stats rewards consume) — no cap, no DMA, no trade log.
+    """
     maxint = cfg.maxint
     include_inits = cfg.cancel_mode >= CancelMode.INCLUDE_INITS
     n_groups = (n_msgs + REC_GROUP - 1) // REC_GROUP
+    n_acc = AGG_STATS * n_agg + AGG_TOTALS
 
-    def kernel(msgs_ref, book_in_ref, prev_ref, book_out_ref, bidask_ref,
-               rec_ref, book, rec_stage, send_sems):
+    def kernel(*refs):
+        if want_records and n_agg:
+            (msgs_ref, book_in_ref, prev_ref, tids_ref, book_out_ref,
+             bidask_ref, rec_ref, agg_ref, book, rec_stage, send_sems,
+             acc) = refs
+        elif want_records:
+            (msgs_ref, book_in_ref, prev_ref, book_out_ref, bidask_ref,
+             rec_ref, book, rec_stage, send_sems) = refs
+            tids_ref = agg_ref = acc = None
+        else:
+            (msgs_ref, book_in_ref, prev_ref, tids_ref, book_out_ref,
+             bidask_ref, agg_ref, book, acc) = refs
+            rec_ref = rec_stage = send_sems = None
         S = n_slots
         blk = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (S, ENV_BLOCK), 0)
 
         book[...] = book_in_ref[...]
+        if n_agg:
+            acc[...] = jnp.zeros((n_acc, ENV_BLOCK), jnp.int32)
 
         def msg_body(m, prev):
             prev_a, prev_b = prev
@@ -155,50 +184,97 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int):
             total_matched = jnp.sum(matched, axis=0, keepdims=True)
             was = matched > 0
 
-            # records: compact the matched slots to REC_K rank-ordered
-            # rows in VMEM (masked rank-select reduces), staged in groups of
-            # REC_GROUP messages and DMA'd to HBM double-buffered.
-            grp = m // REC_GROUP
-            slot = grp % 2
-            within = m % REC_GROUP
+            n_new = None
+            if want_records:
+                # records: compact the matched slots to REC_K rank-ordered
+                # rows in VMEM (masked rank-select reduces), staged in groups
+                # of REC_GROUP messages and DMA'd to HBM double-buffered.
+                grp = m // REC_GROUP
+                slot = grp % 2
+                within = m % REC_GROUP
 
-            @pl.when((within == 0) & (grp >= 2))
-            def _():
-                pltpu.make_async_copy(rec_stage.at[slot],
-                                      rec_ref.at[blk, grp - 2],
-                                      send_sems.at[slot]).wait()
+                @pl.when((within == 0) & (grp >= 2))
+                def _():
+                    pltpu.make_async_copy(rec_stage.at[slot],
+                                          rec_ref.at[blk, grp - 2],
+                                          send_sems.at[slot]).wait()
 
-            rank = _prefix_sum(was.astype(jnp.int32))     # inclusive
-            n_new = jnp.max(rank, axis=0, keepdims=True)  # fills this msg
-            # clear the validity (price) plane, then fill only the ranks
-            # that occur anywhere in the block (typically <= 4 of REC_K)
-            rec_stage[slot, within, 0] = jnp.full(
-                (REC_K, ENV_BLOCK), EMPTY_SLOT, jnp.int32)
-            n_max = jnp.max(n_new)
-            for k in range(REC_K):
-                @pl.when(k < n_max)
-                def _(k=k):
-                    sel = was & (rank == k + 1)
-                    has_k = k + 1 <= n_new                # (1, E)
-                    p_k = jnp.sum(jnp.where(sel, Xp, 0), axis=0,
-                                  keepdims=True)
-                    q_k = -s * jnp.sum(jnp.where(sel, matched, 0), axis=0,
+                rank = _prefix_sum(was.astype(jnp.int32))     # inclusive
+                n_new = jnp.max(rank, axis=0, keepdims=True)  # fills this msg
+                # clear the validity (price) plane, then fill only the ranks
+                # that occur anywhere in the block (typically <= 4 of rec_k)
+                rec_stage[slot, within, 0] = jnp.full(
+                    (rec_k, ENV_BLOCK), EMPTY_SLOT, jnp.int32)
+                n_max = jnp.max(n_new)
+                for k in range(rec_k):
+                    @pl.when(k < n_max)
+                    def _(k=k):
+                        sel = was & (rank == k + 1)
+                        has_k = k + 1 <= n_new                # (1, E)
+                        p_k = jnp.sum(jnp.where(sel, Xp, 0), axis=0,
+                                      keepdims=True)
+                        q_k = -s * jnp.sum(jnp.where(sel, matched, 0), axis=0,
+                                           keepdims=True)
+                        o_k = jnp.sum(jnp.where(sel, Xo, 0), axis=0,
+                                      keepdims=True)
+                        t_k = jnp.sum(jnp.where(sel, Xt, 0), axis=0,
+                                      keepdims=True)
+                        rec_stage[slot, within, 0, k:k + 1] = jnp.where(
+                            has_k, p_k, EMPTY_SLOT)
+                        rec_stage[slot, within, 1, k:k + 1] = q_k
+                        rec_stage[slot, within, 2, k:k + 1] = o_k
+                        rec_stage[slot, within, 3, k:k + 1] = t_k
+
+                @pl.when(within == REC_GROUP - 1)
+                def _():
+                    pltpu.make_async_copy(rec_stage.at[slot],
+                                          rec_ref.at[blk, grp],
+                                          send_sems.at[slot]).start()
+
+            if n_agg:
+                # exact per-trader aggregates (env.common.TradeSummary): the
+                # trade log never materialises — rewards consume these sums.
+                # Buy/sell role per fill: the aggressor buys iff it is the
+                # bid side (s == 1); passive fills are the opposite role.
+                @pl.when(jnp.max(total_matched) > 0)
+                def _():
+                    def rsum(mask, v):
+                        return jnp.sum(jnp.where(mask, v, 0), axis=0,
                                        keepdims=True)
-                    o_k = jnp.sum(jnp.where(sel, Xo, 0), axis=0,
-                                  keepdims=True)
-                    t_k = jnp.sum(jnp.where(sel, Xt, 0), axis=0,
-                                  keepdims=True)
-                    rec_stage[slot, within, 0, k:k + 1] = jnp.where(
-                        has_k, p_k, EMPTY_SLOT)
-                    rec_stage[slot, within, 1, k:k + 1] = q_k
-                    rec_stage[slot, within, 2, k:k + 1] = o_k
-                    rec_stage[slot, within, 3, k:k + 1] = t_k
 
-            @pl.when(within == REC_GROUP - 1)
-            def _():
-                pltpu.make_async_copy(rec_stage.at[slot],
-                                      rec_ref.at[blk, grp],
-                                      send_sems.at[slot]).start()
+                    mp = matched * Xp
+                    mpt = matched * (Xp // tick)
+                    mt = matched * Xt
+                    s_pos = s == 1                 # (1, E)
+
+                    def bump(i, v):
+                        acc[i:i + 1] = acc[i:i + 1] + v
+
+                    bump(n_acc - 2, total_matched)
+                    bump(n_acc - 1, rsum(was, mpt))
+                    for k in range(n_agg):
+                        tk = tids_ref[k:k + 1, :]       # (1, E)
+                        pmask = was & (Xt == tk)
+                        agr_rows = was & (tid == tk)
+                        involved = pmask | agr_rows
+
+                        @pl.when(jnp.any(involved))
+                        def _(k=k, tk=tk, pmask=pmask, agr_rows=agr_rows,
+                              involved=involved):
+                            buy_rows = jnp.where(s_pos, agr_rows, pmask)
+                            sell_rows = jnp.where(s_pos, pmask, agr_rows)
+                            o = AGG_STATS * k
+                            bump(o + 0, rsum(buy_rows, matched))
+                            bump(o + 1, rsum(sell_rows, matched))
+                            bump(o + 2, rsum(buy_rows, mp))
+                            bump(o + 3, rsum(sell_rows, mp))
+                            bump(o + 4, rsum(buy_rows, mpt))
+                            bump(o + 5, rsum(sell_rows, mpt))
+                            bump(o + 6, rsum(involved, matched))
+                            bump(o + 7, rsum(involved, mp))
+                            bump(o + 8, rsum(involved, mpt))
+                            bump(o + 9, rsum(involved, mt))
+                            bump(o + 10, -s * rsum(involved, matched))
 
             Xq = Xq - matched
             wipe_m = was & (Xq <= 0)
@@ -288,33 +364,40 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int):
             best_b = jnp.where(b_invalid, prev_b, best_b)
             b_q = jnp.where(b_invalid, 0, b_q)
 
-            row = jnp.concatenate([best_a, a_q, best_b, b_q, n_new], axis=0)
-            bidask_ref[pl.ds(m, 1)] = row.reshape(1, 5, ENV_BLOCK)
+            planes = [best_a, a_q, best_b, b_q]
+            if want_records:
+                planes.append(n_new)
+            row = jnp.concatenate(planes, axis=0)
+            bidask_ref[pl.ds(m, 1)] = row.reshape(1, len(planes), ENV_BLOCK)
             return (best_a, best_b)
 
         prev0 = (prev_ref[0:1, :], prev_ref[1:2, :])
         jax.lax.fori_loop(0, n_msgs, msg_body, prev0)
-        # flush a trailing partial group, then drain outstanding DMAs
-        if n_msgs % REC_GROUP != 0:
-            last_grp = n_msgs // REC_GROUP
-            pltpu.make_async_copy(rec_stage.at[last_grp % 2],
-                                  rec_ref.at[blk, last_grp],
-                                  send_sems.at[last_grp % 2]).start()
-        for s_ in range(2):
-            last_grp_s = n_groups - 1 - ((n_groups - 1 - s_) % 2)
-            if last_grp_s >= 0:
-                pltpu.make_async_copy(rec_stage.at[s_],
-                                      rec_ref.at[blk, last_grp_s],
-                                      send_sems.at[s_]).wait()
+        if want_records:
+            # flush a trailing partial group, then drain outstanding DMAs
+            if n_msgs % REC_GROUP != 0:
+                last_grp = n_msgs // REC_GROUP
+                pltpu.make_async_copy(rec_stage.at[last_grp % 2],
+                                      rec_ref.at[blk, last_grp],
+                                      send_sems.at[last_grp % 2]).start()
+            for s_ in range(2):
+                last_grp_s = n_groups - 1 - ((n_groups - 1 - s_) % 2)
+                if last_grp_s >= 0:
+                    pltpu.make_async_copy(rec_stage.at[s_],
+                                          rec_ref.at[blk, last_grp_s],
+                                          send_sems.at[s_]).wait()
+        if n_agg:
+            agg_ref[...] = acc[...]
         book_out_ref[...] = book[...]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
                         prev_prices: Array = None,
-                        interpret: bool = False
+                        interpret: bool = False,
+                        rec_k: int = REC_K
                         ) -> Tuple[BookState, Tuple[Array, Array], Array]:
     """Process one step's messages for a batch of environments.
 
@@ -323,10 +406,15 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
       book: batched BookState with leading env axis (E, slots) per field.
       prev_prices: (E, 2) int32 [last ask, last bid] seeding the in-kernel
         best-price forward fill (omit for a -1 seed).
+      rec_k: max recorded fills per message.  A message filling more than
+        ``rec_k`` resting orders has its *records* truncated (the raw
+        ``fill_counts`` output exposes the true count, so truncation is
+        detectable); the book update itself is always exact.  Raise it
+        (up to n_orders) when deep-sweep trade logs must be exact.
 
     Returns:
       (book', (bestasks (E, M, 2), bestbids (E, M, 2)) forward-filled,
-       (records (E, M, REC_K, 4), fill_counts (E, M))).
+       (records (E, M, rec_k, 4), fill_counts (E, M))).
     """
     assert cfg.cancel_mode <= CancelMode.INCLUDE_INITS, (
         "random-cancel modes use the XLA engine path")
@@ -347,7 +435,7 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
         prev_prices = jnp.full((E, 2), EMPTY_SLOT, jnp.int32)
     prev_k = jnp.transpose(prev_prices, (1, 0)).astype(jnp.int32)  # (2,E)
 
-    kernel = _make_kernel(cfg, M, S)
+    kernel = _make_kernel(cfg, M, S, rec_k=rec_k)
     book_out, bidask, records = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -371,11 +459,11 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
             jax.ShapeDtypeStruct((M, 5, E), jnp.int32),
             jax.ShapeDtypeStruct(
                 (n_blocks, (M + REC_GROUP - 1) // REC_GROUP, REC_GROUP,
-                 N_REC_PLANES, REC_K, ENV_BLOCK), jnp.int32),
+                 N_REC_PLANES, rec_k, ENV_BLOCK), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 6, S, ENV_BLOCK), jnp.int32),
-            pltpu.VMEM((2, REC_GROUP, N_REC_PLANES, REC_K, ENV_BLOCK),
+            pltpu.VMEM((2, REC_GROUP, N_REC_PLANES, rec_k, ENV_BLOCK),
                        jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -402,6 +490,100 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
     records = jnp.transpose(records, (0, 4, 1, 3, 2)).reshape(
         E, ng * rg, k_, npl)[:, :M]
     return new_book, (bestasks, bestbids), (records, fill_counts)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def pallas_process_step_aggs(cfg: EngineConfig, msgs: Array, book: BookState,
+                             tids: Array, prev_prices: Array = None,
+                             tick: int = 100, interpret: bool = False
+                             ) -> Tuple[BookState, Tuple[Array, Array],
+                                        Tuple[Array, Array]]:
+    """Aggregate-mode step: per-trader TradeSummary sums instead of records.
+
+    The trade log is never materialised: every fill is folded exactly into
+    per-agent aggregate sums inside the kernel (no REC_K truncation, no
+    records DMA, no finalize gather).  Rewards consume the sums directly.
+
+    Args:
+      tids: (n_agg,) int32 trader ids, ordered [type 0 instances..., type 1
+        instances, ...] like ``WorldEnv.default_params`` assigns them.
+
+    Returns:
+      (book', (bestasks (E, M, 2), bestbids (E, M, 2)) forward-filled,
+       (per_agent (E, n_agg, AGG_STATS), totals (E, AGG_TOTALS))).
+    """
+    assert cfg.cancel_mode <= CancelMode.INCLUDE_INITS, (
+        "random-cancel modes use the XLA engine path")
+    E, M, _ = msgs.shape
+    S = book.asks.price.shape[-1]
+    assert E % ENV_BLOCK == 0, f"batch {E} must be a multiple of {ENV_BLOCK}"
+    n_blocks = E // ENV_BLOCK
+    n_agg = tids.shape[0]
+    n_acc = AGG_STATS * n_agg + AGG_TOTALS
+
+    def stack_side(side: SideState) -> Array:
+        return jnp.stack([side.price, side.quant, side.oid, side.tid,
+                          side.time_s, side.time_ns], axis=0)
+
+    packed = jnp.stack([stack_side(book.asks), stack_side(book.bids)], axis=0)
+    packed = jnp.transpose(packed, (0, 1, 3, 2))               # (2,6,S,E)
+    msgs_k = jnp.transpose(msgs, (1, 2, 0)).astype(jnp.int32)  # (M,8,E)
+    if prev_prices is None:
+        prev_prices = jnp.full((E, 2), EMPTY_SLOT, jnp.int32)
+    prev_k = jnp.transpose(prev_prices, (1, 0)).astype(jnp.int32)  # (2,E)
+    tids_k = jnp.broadcast_to(tids.astype(jnp.int32)[:, None], (n_agg, E))
+
+    kernel = _make_kernel(cfg, M, S, n_agg=n_agg, want_records=False,
+                          tick=tick)
+    book_out, bidask, aggs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((M, 8, ENV_BLOCK), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 6, S, ENV_BLOCK), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ENV_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_agg, ENV_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2, 6, S, ENV_BLOCK), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 4, ENV_BLOCK), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_acc, ENV_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, 6, S, E), jnp.int32),
+            jax.ShapeDtypeStruct((M, 4, E), jnp.int32),
+            jax.ShapeDtypeStruct((n_acc, E), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 6, S, ENV_BLOCK), jnp.int32),
+            pltpu.VMEM((n_acc, ENV_BLOCK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(msgs_k, packed, prev_k, tids_k)
+
+    book_out = jnp.transpose(book_out, (0, 1, 3, 2))  # (2,6,E,S)
+
+    def unpack_side(i: int) -> SideState:
+        f = book_out[i]
+        return SideState(price=f[PRICE], quant=f[QUANT], oid=f[OID],
+                         tid=f[TID], time_s=f[TS], time_ns=f[TNS])
+
+    new_book = BookState(asks=unpack_side(ASK), bids=unpack_side(BID),
+                         trades=book.trades)
+    bidask = jnp.transpose(bidask, (2, 0, 1))          # (E, M, 4)
+    bestasks = bidask[:, :, 0:2]
+    bestbids = bidask[:, :, 2:4]
+    aggs = jnp.transpose(aggs, (1, 0))                 # (E, n_acc)
+    per_agent = aggs[:, :AGG_STATS * n_agg].reshape(E, n_agg, AGG_STATS)
+    totals = aggs[:, AGG_STATS * n_agg:]
+    return new_book, (bestasks, bestbids), (per_agent, totals)
 
 
 def finalize_trade_log_from_records(trades0: Array, records: Array,
