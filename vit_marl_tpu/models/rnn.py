@@ -25,12 +25,16 @@ Array = jax.Array
 
 
 class ScannedGRU(nn.Module):
+    # unroll: this runtime dispatches scan iterations slowly relative to
+    # their (tiny) compute; unrolling 16 cells per scan step recovers most
+    # of it (same setting as the trainer's GAE scan, rl/ppo.py)
     @functools.partial(
         nn.scan,
         variable_broadcast="params",
         in_axes=0,
         out_axes=0,
         split_rngs={"params": False},
+        unroll=16,
     )
     @nn.compact
     def __call__(self, carry, x):

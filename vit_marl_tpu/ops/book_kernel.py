@@ -258,11 +258,11 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
                         agr_rows = was & (tid == tk)
                         involved = pmask | agr_rows
 
-                        @pl.when(jnp.any(involved))
+                        @pl.when(jnp.max(involved.astype(jnp.int32)) > 0)
                         def _(k=k, tk=tk, pmask=pmask, agr_rows=agr_rows,
                               involved=involved):
-                            buy_rows = jnp.where(s_pos, agr_rows, pmask)
-                            sell_rows = jnp.where(s_pos, pmask, agr_rows)
+                            buy_rows = (s_pos & agr_rows) | (~s_pos & pmask)
+                            sell_rows = (s_pos & pmask) | (~s_pos & agr_rows)
                             o = AGG_STATS * k
                             bump(o + 0, rsum(buy_rows, matched))
                             bump(o + 1, rsum(sell_rows, matched))

@@ -399,11 +399,17 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                                      max_to_keep=cfg.checkpoint_max_to_keep)
         use_loop = cfg.rollout_mode == "loop" or (
             cfg.rollout_mode == "auto" and jax.default_backend() == "tpu")
+        # VIT_MARL_PHASE_TIMING=1: print per-update rollout/update wall times
+        # (host-fetch synced; perturbs pipelining, for profiling only)
+        import os
+        import time as _time
+        phase_timing = os.environ.get("VIT_MARL_PHASE_TIMING") == "1"
         for u in range(num_updates):
             if use_loop:
                 # Python-dispatched rollout: each step is one jitted call
                 # (async-pipelined); avoids the fused-scan rollout, which
                 # is substantially slower on some TPU runtimes.
+                t0 = _time.time()
                 initial_hstates = runner_state[-2]
                 rs = runner_state
                 steps = []
@@ -411,8 +417,17 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                     rs, tr = env_step_jit(rs)
                     steps.append(tr)
                 traj_batch = jax.tree.map(lambda *v: jnp.stack(v), *steps)
+                if phase_timing:
+                    float(jax.device_get(traj_batch[0].reward.sum()))
+                    t1 = _time.time()
                 runner_state, metrics = update_from_traj_jit(
                     rs, initial_hstates, traj_batch, u)
+                if phase_timing:
+                    float(jax.device_get(
+                        jnp.asarray(metrics[next(iter(metrics))])))
+                    t2 = _time.time()
+                    print(f"# update {u}: rollout {t1 - t0:.3f}s "
+                          f"update {t2 - t1:.3f}s")
             else:
                 runner_state, metrics = update_jit(runner_state, u)
             if eval_jit is not None and (u + 1) % cfg.eval_every == 0:
