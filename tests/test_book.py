@@ -33,6 +33,38 @@ BIDS = side_from_rows([
 ])
 
 
+def test_side_levels_match_unique_reference():
+    """The sort-free level extraction == the fixed-size-unique formulation
+    (the reference's method, JaxOrderBookArrays.py:1086-1093) on random
+    canonical books."""
+    from vit_marl_tpu.utils.fixtures import random_book
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        asks_d, bids_d, _ = random_book(CFG, rng,
+                                        percent_fill=rng.uniform(0.1, 1.0))
+        asks = bk.sort_side(bk.side_from_dense(jnp.asarray(asks_d, jnp.int32)),
+                            False)
+        bids = bk.sort_side(bk.side_from_dense(jnp.asarray(bids_d, jnp.int32)),
+                            True)
+        for n_levels in (3, 10, 20):
+            bid_p = -1 * jnp.unique(-1 * bids.price, size=n_levels,
+                                    fill_value=1)
+            ask_p = jnp.unique(jnp.where(asks.price == -1, CFG.maxint,
+                                         asks.price),
+                               size=n_levels, fill_value=-1)
+            ask_p = jnp.where(ask_p == CFG.maxint, -1, ask_p)
+            vol = jax.vmap(bk.volume_at_price, in_axes=(None, 0))
+            want_av = jnp.maximum(vol(asks, ask_p), 0)
+            want_bv = jnp.maximum(vol(bids, bid_p), 0)
+            got_ap, got_av = bk._side_levels(asks, n_levels)
+            got_bp, got_bv = bk._side_levels(bids, n_levels)
+            np.testing.assert_array_equal(np.asarray(ask_p), np.asarray(got_ap))
+            np.testing.assert_array_equal(np.asarray(bid_p), np.asarray(got_bp))
+            np.testing.assert_array_equal(np.asarray(want_av), np.asarray(got_av))
+            np.testing.assert_array_equal(np.asarray(want_bv), np.asarray(got_bv))
+
+
 def test_best_prices():
     assert int(bk.best_ask(CFG, ASKS)) == 100_100
     assert int(bk.best_bid(CFG, BIDS)) == 99_900
@@ -53,7 +85,10 @@ def test_volume_at_price():
 
 
 def test_l2_state_layout():
-    l2 = bk.get_l2_state(CFG, 3, ASKS, BIDS)
+    # L2 extraction requires the sorted-arena invariant (engine-produced
+    # states satisfy it; external books must pass sort_side first)
+    l2 = bk.get_l2_state(CFG, 3, bk.sort_side(ASKS, False),
+                         bk.sort_side(BIDS, True))
     # [ask_p, ask_q, bid_p, bid_q] x levels, best level first
     assert l2.tolist() == [
         100_100, 5, 99_900, 5,
@@ -69,7 +104,8 @@ def test_l2_state_empty_fills():
 
 
 def test_vision_l2_state():
-    v = bk.get_vision_l2_state(CFG, 3, ASKS, BIDS)
+    v = bk.get_vision_l2_state(CFG, 3, bk.sort_side(ASKS, False),
+                               bk.sort_side(BIDS, True))
     assert v.shape == (3, 2, 2)
     # channel 0 = asks, channel 1 = bids
     assert v[:, 0, 0].tolist() == [100_100, 100_200, 100_400]

@@ -65,6 +65,11 @@ class WorldEnv:
         # test hook: run the fused Pallas step in interpreter mode on CPU
         # (set immediately after construction, before the first jitted step)
         self._force_pallas_interpret = False
+        # perf-ablation hook (profiling only, NOT semantics-preserving):
+        # VIT_MARL_ABLATE=reset,obs,build skips those step_vec stages
+        import os
+        self._ablate = set(filter(None, os.environ.get(
+            "VIT_MARL_ABLATE", "").split(",")))
         self._world_params = env_base.make_world_params(self.wcfg, key, data)
         self.n_windows = int(
             self._world_params.init_states.window_index.shape[0])
@@ -141,9 +146,12 @@ class WorldEnv:
         lob_state_before = (bk.get_l2_state(wcfg, 10, world.asks, world.bids)
                             if needs_lob_before else None)
 
-        data_msgs = env_base.get_data_messages(
-            wcfg, params.world.message_data, world.start_index,
-            world.step_counter, world.init_time[0] + wcfg.episode_time)
+        if "data" in self._ablate:
+            data_msgs = jnp.zeros((wcfg.n_data_msg_per_step, 8), jnp.int32)
+        else:
+            data_msgs = env_base.get_data_messages(
+                wcfg, params.world.message_data, world.start_index,
+                world.step_counter, world.init_time[0] + wcfg.episode_time)
 
         all_action, all_cancel = [], []
         for i, (agent, n) in enumerate(zip(self.agent_types, self.n_per_type)):
@@ -152,9 +160,13 @@ class WorldEnv:
                 a = jnp.expand_dims(a, 0)  # single agents pass unbatched actions
             key, k_type = jax.random.split(key)
             inst_keys = jax.random.split(k_type, n)
-            msgs_a, msgs_c = jax.vmap(
-                agent.get_messages, in_axes=(0, None, 0, 0, 0))(
-                a, world, state.agents[i], params.agents[i], inst_keys)
+            if "agents" in self._ablate:
+                msgs_a = jnp.zeros((n, agent.cfg.num_messages, 8), jnp.int32)
+                msgs_c = jnp.zeros_like(msgs_a)
+            else:
+                msgs_a, msgs_c = jax.vmap(
+                    agent.get_messages, in_axes=(0, None, 0, 0, 0))(
+                    a, world, state.agents[i], params.agents[i], inst_keys)
             all_action.append(msgs_a.reshape(-1, 8))
             all_cancel.append(msgs_c.reshape(-1, 8))
         action_msgs = jnp.vstack(all_action)
@@ -165,13 +177,22 @@ class WorldEnv:
         new_ids = jnp.arange(0, -n_act, -1) + world.order_id_counter
         action_msgs = action_msgs.at[:, MsgCol.OID].set(new_ids)
         new_id_counter = world.order_id_counter - n_act
-        if wcfg.shuffle_action_messages:
+        if wcfg.shuffle_action_messages and "shuffle" not in self._ablate:
             key, sk = jax.random.split(key)
             action_msgs = jax.random.permutation(sk, action_msgs, axis=0)
 
         combined = jnp.concatenate([cancel_msgs, action_msgs, data_msgs],
                                    axis=0)
         return combined, new_id_counter, lob_state_before
+
+    def _zero_obs(self, i: int):
+        """Ablation stand-in observation (profiling only)."""
+        space = self.observation_spaces[i]
+        n = self.n_per_type[i]
+        if hasattr(space, "spaces"):
+            return {k: jnp.zeros((n,) + tuple(s.shape), jnp.float32)
+                    for k, s in space.spaces.items()}
+        return jnp.zeros((n,) + tuple(space.shape), jnp.float32)
 
     def _post_engine(self, state: MultiAgentState, params: MultiAgentParams,
                      book: bk.BookState, bestasks: Array, bestbids: Array,
@@ -254,6 +275,9 @@ class WorldEnv:
 
         obs_list = []
         for i, agent in enumerate(self.agent_types):
+            if "obs" in self._ablate:
+                obs_list.append(self._zero_obs(i))
+                continue
             obs = jax.vmap(
                 agent.get_observation,
                 in_axes=(None, 0, 0, None, None, None, None, None, None))(
@@ -318,10 +342,15 @@ class WorldEnv:
         key, key_step, key_reset = jax.random.split(key, 3)
         step_keys = jax.random.split(key_step, E)
 
-        combined, new_id_counter, lob_before = jax.vmap(
-            self._build_messages, in_axes=(0, 0, [0] * len(self.agent_types),
-                                           None))(
-            step_keys, states, actions, params)
+        if "build" in self._ablate:
+            combined = jnp.zeros((E, self.num_msgs_per_step, 8), jnp.int32)
+            new_id_counter = states.world.order_id_counter
+            lob_before = None
+        else:
+            combined, new_id_counter, lob_before = jax.vmap(
+                self._build_messages,
+                in_axes=(0, 0, [0] * len(self.agent_types), None))(
+                step_keys, states, actions, params)
 
         book0 = bk.BookState(
             asks=states.world.asks, bids=states.world.bids,
@@ -371,6 +400,8 @@ class WorldEnv:
             states, params, book, bestasks, bestbids, combined, lob_before,
             new_id_counter, summaries)
 
+        if "reset" in self._ablate:
+            return obs_st, st_st, rewards, dones, infos
         # vectorized auto-reset (ref: marl_env.py:737-766)
         reset_keys = jax.random.split(key_reset, E)
         obs_re, st_re = jax.vmap(self.reset_env, in_axes=(0, None))(

@@ -165,6 +165,49 @@ def best_bid_and_ask_incl_quants(cfg: EngineConfig, asks: SideState,
             jnp.stack([b, b_q]).astype(jnp.int32))
 
 
+def _side_levels(side: SideState, n_levels: int) -> Tuple[Array, Array]:
+    """(level_prices, level_volumes) of the top ``n_levels`` price levels.
+
+    PRECONDITION: ``side`` satisfies the sorted-arena invariant (all
+    engine-produced states do; sort external books with :func:`sort_side`).
+
+    Exploits the sorted-arena invariant (slot order == price-time priority
+    among occupied slots, holes anywhere): distinct prices appear in
+    priority order with same-price orders contiguous, so levels fall out of
+    a log-depth forward-fill plus compare-reduce — no sort.  The reference
+    (and the round-1 rebuild) used fixed-size ``jnp.unique``, which lowers
+    to a per-env sort (ref: JaxOrderBookArrays.py:1086-1093); this is the
+    TPU-native equivalent.  Missing levels read price=-1, volume=0.
+    """
+    occ = side.price != EMPTY_SLOT
+
+    # exclusive forward-fill of the previous occupied price
+    def combine(a, b):
+        va, oa = a
+        vb, ob = b
+        return jnp.where(ob, vb, va), oa | ob
+
+    shifted_p = jnp.concatenate([jnp.full((1,), EMPTY_SLOT, side.price.dtype),
+                                 side.price[:-1]])
+    shifted_o = jnp.concatenate([jnp.zeros((1,), bool), occ[:-1]])
+    prev_p, prev_o = jax.lax.associative_scan(combine, (shifted_p, shifted_o))
+
+    is_new = occ & (~prev_o | (side.price != prev_p))
+    lvl = jnp.cumsum(is_new.astype(jnp.int32))          # occupied: 1..n
+    lvl = jnp.where(occ, lvl, 0)
+    take = min(n_levels, side.price.shape[0])
+    lv = jnp.arange(1, take + 1)[:, None]               # (n_levels, 1)
+    sel = lvl[None, :] == lv                            # (n_levels, S)
+    prices = jnp.max(jnp.where(sel, side.price[None, :], EMPTY_SLOT), axis=1)
+    vols = jnp.sum(jnp.where(sel, side.quant[None, :], 0), axis=1)
+    if take < n_levels:
+        pad = n_levels - take
+        prices = jnp.concatenate([prices, jnp.full((pad,), EMPTY_SLOT,
+                                                   prices.dtype)])
+        vols = jnp.concatenate([vols, jnp.zeros((pad,), vols.dtype)])
+    return prices.astype(jnp.int32), jnp.maximum(vols, 0).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def get_l2_state(cfg: EngineConfig, n_levels: int, asks: SideState,
                  bids: SideState) -> Array:
@@ -172,18 +215,10 @@ def get_l2_state(cfg: EngineConfig, n_levels: int, asks: SideState,
     (ref: JaxOrderBookArrays.py:1075-1106).
 
     Missing levels read price=-1/volume=0 on both sides, exactly like the
-    reference's fixed-size ``jnp.unique`` trick (the bid fill value 1 is
-    negated on output).
+    reference's fixed-size ``jnp.unique`` trick.
     """
-    bid_prices = -1 * jnp.unique(-1 * bids.price, size=n_levels, fill_value=1)
-    ask_prices = jnp.unique(
-        jnp.where(asks.price == EMPTY_SLOT, cfg.maxint, asks.price),
-        size=n_levels, fill_value=-1)
-    ask_prices = jnp.where(ask_prices == cfg.maxint, EMPTY_SLOT, ask_prices)
-
-    vmap_vol = jax.vmap(volume_at_price, in_axes=(None, 0))
-    bid_v = jnp.maximum(vmap_vol(bids, bid_prices), 0)
-    ask_v = jnp.maximum(vmap_vol(asks, ask_prices), 0)
+    ask_prices, ask_v = _side_levels(asks, n_levels)
+    bid_prices, bid_v = _side_levels(bids, n_levels)
     l2 = jnp.stack([ask_prices, ask_v, bid_prices, bid_v], axis=1)
     return l2.flatten().astype(jnp.int32)
 
@@ -194,15 +229,8 @@ def get_vision_l2_state(cfg: EngineConfig, n_levels: int, asks: SideState,
     """Raw book-image tensor ``(n_levels, 2, 2)``:
     dim1 = (price, volume), dim2 = (ask, bid) channels
     (ref: JaxOrderBookArrays.py:1108-1140, the fork's vision snapshot)."""
-    bid_prices = -1 * jnp.unique(-1 * bids.price, size=n_levels, fill_value=1)
-    ask_prices = jnp.unique(
-        jnp.where(asks.price == EMPTY_SLOT, cfg.maxint, asks.price),
-        size=n_levels, fill_value=-1)
-    ask_prices = jnp.where(ask_prices == cfg.maxint, EMPTY_SLOT, ask_prices)
-
-    vmap_vol = jax.vmap(volume_at_price, in_axes=(None, 0))
-    ask_v = jnp.maximum(vmap_vol(asks, ask_prices), 0)
-    bid_v = jnp.maximum(vmap_vol(bids, bid_prices), 0)
+    ask_prices, ask_v = _side_levels(asks, n_levels)
+    bid_prices, bid_v = _side_levels(bids, n_levels)
     ask_raw = jnp.stack([ask_prices, ask_v], axis=1)   # (n_levels, 2)
     bid_raw = jnp.stack([bid_prices, bid_v], axis=1)
     return jnp.stack([ask_raw, bid_raw], axis=2).astype(jnp.int32)
