@@ -101,9 +101,14 @@ def get_data_messages(cfg: WorldConfig, message_data: Array, start_index: Array,
     In ``fixed_time`` mode, messages at/after the episode end time are
     zeroed (all but the two time fields), exactly like the reference.
     """
-    offset = start_index + cfg.n_data_msg_per_step * step_counter
-    msgs = jax.lax.dynamic_slice_in_dim(message_data, offset,
-                                        cfg.n_data_msg_per_step, axis=0)
+    # Flat row gather, NOT dynamic_slice: vmapped dynamic_slice lowers to a
+    # windowed gather (slice_sizes=[n, 8] per env) that measures 3-8x
+    # slower on TPU than gathering n single rows per env.  The clip
+    # reproduces dynamic_slice's clamp-to-fit semantics exactly.
+    n = cfg.n_data_msg_per_step
+    offset = jnp.clip(start_index + n * step_counter, 0,
+                      message_data.shape[0] - n)
+    msgs = message_data[offset + jnp.arange(n)]
     if cfg.ep_type == "fixed_time":
         past_end = msgs[:, MsgCol.TIME_S] >= end_time_s
         head = jnp.where(past_end[:, None], 0, msgs[:, :6])

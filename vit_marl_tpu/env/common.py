@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from vit_marl_tpu.config import WorldConfig, TradeCol
-from vit_marl_tpu.utils.ints import rank_rev
+
 
 Array = jax.Array
 
@@ -36,17 +36,28 @@ def filter_messages(action_msgs: Array, cnl_msgs: Array
     a_mask = jnp.any(res, axis=1)
     c_mask = jnp.any(res, axis=0)
 
-    a_i = jnp.where(a_mask, size=a_mask.shape[0], fill_value=-1)[0]
-    a = jnp.where(a_i == -1, 0, action_msgs[a_i][:, 2])
-    c_i = jnp.where(c_mask, size=c_mask.shape[0], fill_value=-1)[0]
-    c = jnp.where(c_i == -1, 0, cnl_msgs[c_i][:, 2])
+    # Rank-pair matched actions with matched cancels (i-th matched action
+    # vs i-th matched cancel, row order), like the reference.  Uses
+    # compare-reduce one-hots instead of sized nonzero + argsort ranks:
+    # those lower to computed-index scatters / per-env sorts, which are the
+    # slowest op classes on this TPU (CLAUDE.md perf rule 5).
+    n = a_mask.shape[0]
+    ra = jnp.cumsum(a_mask.astype(jnp.int32)) - 1   # 0-based rank at matches
+    rc = jnp.cumsum(c_mask.astype(jnp.int32)) - 1
+    iota = jnp.arange(n)[:, None]
+    sel_a = a_mask[None, :] & (ra[None, :] == iota)  # (n, n) one-hot rows
+    sel_c = c_mask[None, :] & (rc[None, :] == iota)
+    a = jnp.sum(jnp.where(sel_a, action_msgs[:, 2][None, :], 0), axis=1)
+    c = jnp.sum(jnp.where(sel_c, cnl_msgs[:, 2][None, :], 0), axis=1)
 
     rel_cnl_quants = (c >= a) * a
     action_msgs = action_msgs.at[:, 2].set(
-        action_msgs[:, 2] - rel_cnl_quants[rank_rev(a_mask)])
+        action_msgs[:, 2]
+        - jnp.sum(jnp.where(sel_a, rel_cnl_quants[:, None], 0), axis=0))
     action_msgs = jnp.where((action_msgs[:, 2] == 0).T, 0, action_msgs.T).T
     cnl_msgs = cnl_msgs.at[:, 2].set(
-        cnl_msgs[:, 2] - rel_cnl_quants[rank_rev(c_mask)])
+        cnl_msgs[:, 2]
+        - jnp.sum(jnp.where(sel_c, rel_cnl_quants[:, None], 0), axis=0))
     return action_msgs, cnl_msgs
 
 

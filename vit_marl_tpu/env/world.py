@@ -161,7 +161,8 @@ class WorldEnv:
             key, k_type = jax.random.split(key)
             inst_keys = jax.random.split(k_type, n)
             if "agents" in self._ablate:
-                msgs_a = jnp.zeros((n, agent.cfg.num_messages, 8), jnp.int32)
+                msgs_a = jnp.zeros((n, agent.cfg.num_messages // 2, 8),
+                                   jnp.int32)
                 msgs_c = jnp.zeros_like(msgs_a)
             else:
                 msgs_a, msgs_c = jax.vmap(

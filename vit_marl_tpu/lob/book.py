@@ -344,10 +344,14 @@ def make_cancel_msgs(side: SideState, agent_id: Array, size: int,
     harmless no-ops in the engine (no order ever has oid 0 or price 0).
     """
     match = side.tid == agent_id
-    idx = jnp.where(match, size=size, fill_value=-1)[0]
-    found = idx >= 0
-    safe = jnp.maximum(idx, 0)
-    pick = lambda v: jnp.where(found, v[safe], 0)
+    # compact matches to the front via compare-reduce one-hots, NOT
+    # jnp.where(size=...): sized nonzero lowers to a computed-index
+    # scatter-add over the whole arena, which measures ~1000x slower on
+    # this TPU than the masked-sum formulation (CLAUDE.md perf rule 5)
+    rank = jnp.cumsum(match.astype(jnp.int32))            # 1-based at matches
+    sel = match[None, :] & (rank[None, :]
+                            == jnp.arange(1, size + 1)[:, None])  # (size, S)
+    pick = lambda v: jnp.sum(jnp.where(sel, v[None, :], 0), axis=1)
     msgs = jnp.stack([
         jnp.full((size,), 2, dtype=jnp.int32),             # type: CANCEL
         jnp.full((size,), side_sign, dtype=jnp.int32),     # side
