@@ -59,8 +59,21 @@ VIT_PRESETS = {
 
 
 def dot_product_attention(q: Array, k: Array, v: Array, dtype) -> Array:
-    """(B, H, N, D) attention.  Seam for a Pallas flash kernel at longer N."""
+    """(B, H, N, D) attention.  Seam for a Pallas flash kernel at longer N.
+
+    For short sequences (book images: N ~ levels + 1) the einsum form
+    lowers to B*H tiny batched MXU matmuls (e.g. 49k instances of
+    11x64x11 at 8192 envs), each wasting the 128x128 systolic array —
+    measured 117 ms of a 152 ms ViT-Small forward.  A broadcast-multiply-
+    reduce keeps the work on the VPU with the batch on lanes instead
+    (58 ms total).  Large N keeps the MXU einsum path.
+    """
     scale = q.shape[-1] ** -0.5
+    if q.shape[-2] <= 32:
+        logits = jnp.sum((q * scale)[:, :, :, None, :] * k[:, :, None, :, :],
+                         axis=-1).astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        return jnp.sum(weights[..., None] * v[:, :, None, :, :], axis=3)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
