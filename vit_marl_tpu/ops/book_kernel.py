@@ -148,9 +148,14 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
             Xn, Yn = read_xy(TNS)
 
             # ---- cancel pass on Y (identity unless cancelling) ----
+            # NOTE: within the message loop only the PRICE plane marks
+            # emptiness; quant/oid/tid/time wipes are deferred to one
+            # canonicalisation after the loop (saves ~10 tile ops/message).
+            # Holes may carry stale values, so every read below guards on
+            # occupancy (price != EMPTY_SLOT).
             c_quant = jnp.where(is_cancel, quant, 0)
             c_oid = jnp.where(is_cancel, oid, 0)
-            idx1 = _first_idx(Yo == c_oid, S)
+            idx1 = _first_idx((Yo == c_oid) & (Yp != EMPTY_SLOT), S)
             if include_inits:
                 m2 = ((Yp == price) & (Yo <= cfg.init_id) & (Yq >= c_quant)
                       & (Yp != EMPTY_SLOT))
@@ -166,11 +171,6 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
             Yq = jnp.where(dec, new_q, Yq)
             wipe_c = dec & (new_q <= 0)
             Yp = jnp.where(wipe_c, EMPTY_SLOT, Yp)
-            Yq = jnp.where(wipe_c, EMPTY_SLOT, Yq)
-            Yo = jnp.where(wipe_c, EMPTY_SLOT, Yo)
-            Yt = jnp.where(wipe_c, EMPTY_SLOT, Yt)
-            Ys = jnp.where(wipe_c, EMPTY_SLOT, Ys)
-            Yn = jnp.where(wipe_c, EMPTY_SLOT, Yn)
 
             # ---- limit pass: match against X ----
             lim_quant = jnp.where(is_lim, quant, 0)
@@ -279,11 +279,6 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
             Xq = Xq - matched
             wipe_m = was & (Xq <= 0)
             Xp = jnp.where(wipe_m, EMPTY_SLOT, Xp)
-            Xq = jnp.where(wipe_m, EMPTY_SLOT, Xq)
-            Xo = jnp.where(wipe_m, EMPTY_SLOT, Xo)
-            Xt = jnp.where(wipe_m, EMPTY_SLOT, Xt)
-            Xs = jnp.where(wipe_m, EMPTY_SLOT, Xs)
-            Xn = jnp.where(wipe_m, EMPTY_SLOT, Xn)
 
             # ---- insert remainder into Y (hole-arena sorted insert) ----
             add_q = jnp.maximum(0, lim_quant - total_matched)
@@ -388,6 +383,14 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
                                           send_sems.at[s_]).wait()
         if n_agg:
             agg_ref[...] = acc[...]
+        # canonicalise: restore the all-planes-empty invariant at holes
+        # (deferred from the per-message wipes; the env reads tid/quant
+        # directly, e.g. make_cancel_msgs matches side.tid)
+        for side_i in (ASK, BID):
+            hole_f = book[side_i, PRICE] == EMPTY_SLOT
+            for f in (QUANT, OID, TID, TS, TNS):
+                book[side_i, f] = jnp.where(hole_f, EMPTY_SLOT,
+                                            book[side_i, f])
         book_out_ref[...] = book[...]
 
     return kernel
