@@ -40,7 +40,15 @@ def main():
             raw = yaml.safe_load(f) or {}
     for kv in args.set:
         key, val = kv.split("=", 1)
-        raw[key.upper()] = yaml.safe_load(val)
+        # YAML 1.1 parses "1.2e8" as a string (needs the + sign); accept
+        # plain scientific notation on the CLI
+        try:
+            num = float(val)
+            parsed = int(num) if num == int(num) and "." not in val \
+                and "e" not in val.lower() else num
+        except ValueError:
+            parsed = yaml.safe_load(val)
+        raw[key.upper()] = parsed
 
     ma_config, train_config = make_config(raw)
     if args.seed is not None:
