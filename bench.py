@@ -38,6 +38,10 @@ def main():
     p.add_argument("--vit-images", action="store_true",
                    help="measure the second BASELINE.json metric instead: "
                         "ViT fwd+bwd images/sec inside a PPO update")
+    p.add_argument("--selfcheck", action="store_true",
+                   help="run the compiled (non-interpret) Pallas kernel "
+                        "vs XLA engine bit-equality check at bench shapes "
+                        "on the current device, then exit")
     p.add_argument("--mode", default="loop", choices=["loop", "scan"],
                    help="loop: Python-dispatched steps (async-pipelined, the "
                         "realistic serving/training pattern); scan: one fused "
@@ -57,6 +61,8 @@ def main():
 
     if args.vit_images:
         return bench_vit_images(args)
+    if args.selfcheck:
+        return kernel_selfcheck()
 
     from vit_marl_tpu.config import (
         ExecutionConfig,
@@ -188,6 +194,80 @@ def main():
           f"steps={args.steps} reps={args.reps} msgs/step="
           f"{env.num_msgs_per_step} compile={compile_time:.1f}s "
           f"run={dt:.2f}s", file=sys.stderr)
+
+
+def kernel_selfcheck():
+    """Compiled-mode differential check of the fused Pallas kernel vs the
+    XLA engine at bench shapes (M=112 messages, 128-slot book, deep-sweep
+    message mix).  The CPU test suite can only run the kernel in interpret
+    mode; this proves the *compiled* Mosaic lowering on real hardware.
+    Prints one JSON line with ok true/false.
+    """
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+
+    from vit_marl_tpu.config import EngineConfig
+    from vit_marl_tpu.env.common import (
+        ffill_best_prices,
+        summarize_trades,
+        summary_from_aggs,
+    )
+    from vit_marl_tpu.lob import engine as eng
+    from vit_marl_tpu.ops.book_kernel import (
+        ENV_BLOCK,
+        pallas_process_step_aggs,
+    )
+
+    _sys.path.insert(0, "tests")
+    from test_book_kernel import AGENT_TIDS, TICK, build_case
+
+    # n_orders=128 is the bench book shape; n_trades is oversized so the
+    # XLA reference trade log holds every fill (the comparison requires an
+    # exact log — same convention as tests/test_book_kernel.py)
+    cfg = EngineConfig(n_orders=128, n_trades=16384)
+    E, M = 2 * ENV_BLOCK, 112
+    batched, msgs = build_case(cfg, E, M, percent_fill=0.5, deep_every=9,
+                               agent_every=5)
+    keys = jax.random.split(jax.random.PRNGKey(0), E)
+    xla_book, (xa, xb) = jax.jit(jax.vmap(
+        partial(eng.process_messages_save_bidask, cfg, n_last=M),
+        in_axes=(0, 0, 0)))(keys, msgs, batched)
+    prev = jnp.full((E, 2), 12_345, jnp.int32)
+    xa = jax.vmap(ffill_best_prices)(xa, prev[:, 0])
+    xb = jax.vmap(ffill_best_prices)(xb, prev[:, 1])
+    n_filled = (np.asarray(xla_book.trades)[:, :, 0] != -1).sum(axis=1)
+    assert n_filled.max() < cfg.n_trades, "reference log overflowed"
+
+    tids = jnp.asarray(AGENT_TIDS, jnp.int32)
+    k_book, (ka, kb), (per_agent, totals) = pallas_process_step_aggs(
+        cfg, msgs, batched, tids, prev, TICK, False)
+
+    ok = True
+    for x, y in zip(jax.tree.leaves((xla_book.asks, xla_book.bids)),
+                    jax.tree.leaves((k_book.asks, k_book.bids))):
+        ok &= bool(jnp.array_equal(x, y))
+    ok &= bool(jnp.array_equal(xa, ka)) and bool(jnp.array_equal(xb, kb))
+    got = summary_from_aggs(
+        per_agent, jnp.broadcast_to(totals[:, None, :],
+                                    (E, len(AGENT_TIDS), 2)))
+    for k, tid in enumerate(AGENT_TIDS):
+        want = jax.vmap(summarize_trades, in_axes=(0, None, None))(
+            xla_book.trades, jnp.int32(tid), TICK)
+        for w, g in zip(want, jax.tree.map(lambda v: v[:, k], got)):
+            ok &= bool(jnp.array_equal(np.asarray(w), np.asarray(g)))
+    import json as _json
+    print(_json.dumps({"metric": "kernel_selfcheck_ok",
+                       "value": 1.0 if ok else 0.0, "unit": "bool",
+                       "vs_baseline": 1.0 if ok else 0.0}))
+    print(f"# device={jax.devices()[0].platform} E={E} M={M} "
+          f"compiled-mode bit-equality: {'OK' if ok else 'FAIL'}",
+          file=_sys.stderr)
+    if not ok:
+        raise SystemExit(1)
 
 
 def bench_vit_images(args):

@@ -48,6 +48,10 @@ class ViTConfig:
     heads: int = 3
     mlp_ratio: int = 4
     compute_dtype: str = "bfloat16"   # matmul dtype; params/outputs fp32
+    # rematerialise each block's activations in backward: PPO updates push
+    # T*B images through fwd+bwd at once (e.g. 131k at 1024 envs x 128
+    # steps), whose saved activations exceed HBM without remat
+    remat: bool = True
 
 
 VIT_PRESETS = {
@@ -136,8 +140,9 @@ class ViTEncoder(nn.Module):
         cls = jnp.broadcast_to(cls, (x.shape[0], 1, c.width)).astype(dtype)
         x = jnp.concatenate([cls, x], axis=1) + pos.astype(dtype)
 
+        block_cls = nn.remat(Block) if c.remat else Block
         for i in range(c.depth):
-            x = Block(c, name=f"block{i}")(x)
+            x = block_cls(c, name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         out = x[:, 0].astype(jnp.float32)           # CLS token
         return out.reshape(lead + (c.width,))
