@@ -37,6 +37,7 @@ from flax.linen.initializers import constant, orthogonal
 
 from vit_marl_tpu.models.distributions import Categorical, SquashedNormal
 from vit_marl_tpu.models.rnn import ScannedGRU
+from vit_marl_tpu.ops.mlp_kernel import fused_mlp
 
 Array = jax.Array
 
@@ -52,6 +53,9 @@ class ViTConfig:
     # T*B images through fwd+bwd at once (e.g. 131k at 1024 envs x 128
     # steps), whose saved activations exceed HBM without remat
     remat: bool = True
+    # fused Pallas MLP (dense->gelu->dense, hidden rows in VMEM); auto-
+    # falls back to the unfused path off-TPU or for untiled row counts
+    fused_mlp: bool = True
 
 
 VIT_PRESETS = {
@@ -112,9 +116,24 @@ class Block(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
         x = x + MHA(c, name="attn")(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
-        h = nn.Dense(c.width * c.mlp_ratio, dtype=dtype, name="mlp1")(h)
-        h = nn.gelu(h)
-        h = nn.Dense(c.width, dtype=dtype, name="mlp2")(h)
+        if c.fused_mlp:
+            # dense->gelu->dense with the 4W-wide hidden rows kept in VMEM
+            # (HBM-bandwidth win; see ops/mlp_kernel.py).  Falls back to
+            # the unfused path off-TPU / for untiled row counts.
+            W, H = c.width, c.width * c.mlp_ratio
+            init = nn.initializers.lecun_normal()
+            w1 = self.param("mlp1_kernel", init, (W, H))
+            b1 = self.param("mlp1_bias", nn.initializers.zeros, (H,))
+            w2 = self.param("mlp2_kernel", init, (H, W))
+            b2 = self.param("mlp2_bias", nn.initializers.zeros, (W,))
+            B, N, _ = h.shape
+            out = fused_mlp(h.reshape(B * N, W), w1.astype(dtype),
+                            b1, w2.astype(dtype), b2, False)
+            h = out.reshape(B, N, W)
+        else:
+            h = nn.Dense(c.width * c.mlp_ratio, dtype=dtype, name="mlp1")(h)
+            h = nn.gelu(h)
+            h = nn.Dense(c.width, dtype=dtype, name="mlp2")(h)
         return x + h
 
 
