@@ -366,6 +366,10 @@ class TrainConfig:
     # checkpointing
     checkpoint_dir: str = ""
     checkpoint_max_to_keep: int = 2
+    # save every K updates (the reference saves every update, which for a
+    # ViT-sized policy moves ~90 MB of params per update; the final update
+    # always saves)
+    checkpoint_every: int = 1
     # logging
     log_backend: str = "print"       # "print" | "jsonl" | "wandb" | "none"
     log_path: str = "metrics.jsonl"

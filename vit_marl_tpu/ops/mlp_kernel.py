@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 
 Array = jax.Array
 
-ROW_BLOCK = 512
+ROW_BLOCK = 2048   # 512 measured 15% slower end-to-end: 4x the grid steps
+#                    re-copy the (invariant) weight blocks 4x as often
 
 
 def _gelu(x: Array) -> Array:

@@ -438,7 +438,8 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                     metrics[f"{name}/eval_mean_reward"] = ev[i]
             logger.log(jax.device_get(metrics))
             metrics_history.append(jax.device_get(metrics))
-            if ckpt is not None:
+            if ckpt is not None and ((u + 1) % cfg.checkpoint_every == 0
+                                     or u == num_updates - 1):
                 ckpt.save(u, [ts.params for ts in runner_state[0]],
                           metrics=metrics_history[-1])
         if ckpt is not None:
