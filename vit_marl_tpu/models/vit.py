@@ -54,8 +54,11 @@ class ViTConfig:
     # steps), whose saved activations exceed HBM without remat
     remat: bool = True
     # fused Pallas MLP (dense->gelu->dense, hidden rows in VMEM); auto-
-    # falls back to the unfused path off-TPU or for untiled row counts
-    fused_mlp: bool = True
+    # falls back to the unfused path off-TPU or for untiled row counts.
+    # Default OFF: at ROW_BLOCK=512 it measured 15% slower end-to-end than
+    # XLA's unfused MLP (grid steps re-copy the invariant weight blocks);
+    # the 2048-row variant is unmeasured pending TPU availability
+    fused_mlp: bool = False
 
 
 VIT_PRESETS = {
