@@ -202,3 +202,40 @@ def test_kernel_aggregates_match_trade_log_summaries(E, M, deep,
     # at least some agent activity must have occurred for the test to bite
     assert int(np.asarray(got.agent_quant_abs).sum()) > 0
     assert int(np.asarray(got.total_quant).sum()) > 0
+
+
+def test_cancel_after_full_fill_does_not_hit_stale_hole():
+    """Regression for the deferred-hole-wipe optimisation: a slot emptied
+    by a full fill keeps its stale oid in VMEM until the end-of-loop
+    canonicalisation; a later cancel for that oid must NOT touch the hole
+    (the XLA engine wipes immediately, so bit-equality would break).
+    Sequence per env: bid rests -> market sell consumes it fully -> a new
+    bid lands in the hole -> cancel for the consumed oid arrives."""
+    cfg = EngineConfig(n_orders=16, n_trades=64)
+    E = ENV_BLOCK
+    asks = jnp.full((E, 16, 6), -1, jnp.int32)
+    bids = jnp.full((E, 16, 6), -1, jnp.int32)
+    # one resting bid: price 100_000, quant 5, oid 777
+    bids = bids.at[:, 0].set(jnp.array([100_000, 5, 777, 901, 34_200, 0]))
+    book = bk.BookState(
+        asks=bk.SideState(*[asks[:, :, i] for i in range(6)]),
+        bids=bk.SideState(*[bids[:, :, i] for i in range(6)]),
+        trades=jnp.broadcast_to(bk.init_trades(64), (E, 64, 8)))
+    msgs_one = np.array([
+        [1, -1, 5, 100_000, 500, 500, 34_201, 0],   # sell 5 -> fills oid 777
+        [1, 1, 3, 100_000, 501, 501, 34_202, 0],    # new bid reuses the slot
+        [2, 1, 5, 100_000, 777, 901, 34_203, 0],    # cancel the DEAD oid
+    ], dtype=np.int64)
+    msgs = jnp.asarray(np.broadcast_to(msgs_one, (E, 3, 8)), jnp.int32)
+    prev = jnp.full((E, 2), 99_999, jnp.int32)
+
+    xla_book, xa, xb, _ = run_xla(cfg, msgs, book, 3)
+    interpret = jax.default_backend() != "tpu"
+    pal_book, (pa, pb), _ = pallas_process_step(cfg, msgs, book, prev,
+                                                interpret)
+    assert_books_equal(xla_book, pal_book)
+    # the new bid must survive the stale-oid cancel with quant 3
+    occ = np.asarray(pal_book.bids.oid) == 501
+    assert occ.any(axis=1).all()
+    q = np.where(occ, np.asarray(pal_book.bids.quant), 0).sum(axis=1)
+    np.testing.assert_array_equal(q, np.full((E,), 3))
