@@ -84,3 +84,42 @@ def episode_feature_plot(traj: dict, agent_index: int, feature: str,
     if save_path:
         fig.savefig(save_path, bbox_inches="tight")
     return fig
+
+
+def learning_curves(metrics_jsonl: str, save_path: Optional[str] = None,
+                    smooth: int = 5):
+    """Per-agent-type mean-reward training curves (plus held-out eval
+    points when present) from a jsonl metrics log written by the trainer's
+    jsonl backend (rl/logger.py)."""
+    import json
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = [json.loads(line) for line in open(metrics_jsonl)]
+    names = sorted({k.split("/")[0] for k in rows[0] if "/" in k})
+    fig, axes = plt.subplots(1, len(names), figsize=(5 * len(names), 3.2),
+                             squeeze=False)
+    for ax, name in zip(axes[0], names):
+        steps = [r["update_step"] for r in rows if f"{name}/mean_reward" in r]
+        vals = np.array([r[f"{name}/mean_reward"] for r in rows
+                         if f"{name}/mean_reward" in r])
+        if smooth > 1 and len(vals) > smooth:
+            kern = np.ones(smooth) / smooth
+            sm = np.convolve(vals, kern, mode="valid")
+            ax.plot(steps, vals, alpha=0.25, color="C0")
+            ax.plot(steps[smooth - 1:], sm, color="C0", label="train")
+        else:
+            ax.plot(steps, vals, color="C0", label="train")
+        ev = [(r["update_step"], r[f"{name}/eval_mean_reward"])
+              for r in rows if f"{name}/eval_mean_reward" in r]
+        if ev:
+            ax.plot(*zip(*ev), "o--", color="C1", label="held-out eval")
+        ax.set_title(f"{name} mean reward")
+        ax.set_xlabel("update")
+        ax.legend(frameon=False, fontsize=8)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+    return fig
