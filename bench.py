@@ -222,7 +222,9 @@ def kernel_selfcheck():
         pallas_process_step_aggs,
     )
 
-    _sys.path.insert(0, "tests")
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.abspath(__file__)), "tests"))
     from test_book_kernel import AGENT_TIDS, TICK, build_case
 
     # n_orders=128 is the bench book shape; n_trades is oversized so the

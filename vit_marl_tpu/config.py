@@ -284,7 +284,10 @@ class ExecutionConfig:
             "fixed_prices": self.n_actions,
             "simplest_case": 3,
             "fixed_quants_1msg": 5,
-            "twap": 2,
+            # the reference pins the twap baseline to a single always-FT
+            # action (jaxob_config.py:151 n_actions=1); the NT row of
+            # _action_twap's quant table is deliberately unreachable
+            "twap": 1,
             "twap_v3": 1,
         }[self.action_space]
 

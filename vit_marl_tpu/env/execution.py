@@ -93,11 +93,12 @@ class ExecutionAgent:
         return (jnp.int32(common.floor_tick(world.best_asks[-1][0], tick)),
                 jnp.int32(common.floor_tick(world.best_bids[-1][0], tick)))
 
-    def _task_prices(self, world: WorldState, state: ExecState) -> Array:
-        """(FT, M, NT, PP) for the task direction
-        (ref: vision_env.py:848-869)."""
+    def _ladder(self, best_ask: Array, best_bid: Array,
+                is_sell_task: Array) -> Array:
+        """(FT, M, NT, PP) for the task direction from a pair of best
+        quotes (ref: vision_env.py:848-869; the ceil(x//tick) in the sell
+        mid reproduces the reference's own no-op quirk)."""
         tick = self.wcfg.tick_size
-        best_ask, best_bid = self._best(world)
 
         def buy():
             FT = best_ask
@@ -108,12 +109,18 @@ class ExecutionAgent:
 
         def sell():
             FT = best_bid
-            M = (jnp.ceil((best_bid + best_ask) / 2 // tick) * tick).astype(jnp.int32)
+            M = (jnp.ceil((best_bid + best_ask) / 2 // tick)
+                 * tick).astype(jnp.int32)
             NT = best_ask
             PP = best_ask + tick * self.cfg.n_ticks_in_book
             return jnp.stack([FT, M, NT, PP])
 
-        return jax.lax.cond(state.is_sell_task, sell, buy).astype(jnp.int32)
+        return jax.lax.cond(is_sell_task, sell, buy).astype(jnp.int32)
+
+    def _task_prices(self, world: WorldState, state: ExecState) -> Array:
+        """Ladder from the instantaneous best quotes."""
+        best_ask, best_bid = self._best(world)
+        return self._ladder(best_ask, best_bid, state.is_sell_task)
 
     def _make_msgs(self, world: WorldState, state: ExecState,
                    params_i: ExecParams, quants: Array, prices: Array) -> Array:
@@ -198,23 +205,7 @@ class ExecutionAgent:
             world.best_asks[-10:, 0].mean(), tick))
         best_bid = jnp.int32(common.floor_tick(
             world.best_bids[-10:, 0].mean(), tick))
-
-        def buy():
-            FT = best_ask
-            M = common.floor_tick((best_bid + best_ask) // 2, tick)
-            NT = best_bid
-            PP = best_bid - tick * self.cfg.n_ticks_in_book
-            return jnp.stack([FT, M, NT, PP])
-
-        def sell():
-            FT = best_bid
-            M = (jnp.ceil((best_bid + best_ask) / 2 // tick)
-                 * tick).astype(jnp.int32)
-            NT = best_ask
-            PP = best_ask + tick * self.cfg.n_ticks_in_book
-            return jnp.stack([FT, M, NT, PP])
-
-        full = jax.lax.cond(state.is_sell_task, sell, buy).astype(jnp.int32)
+        full = self._ladder(best_ask, best_bid, state.is_sell_task)
         n = self.cfg.n_actions
         idx = {4: [0, 1, 2, 3], 3: [0, 2, 3], 2: [0, 2], 1: [0]}[n]
         return full[jnp.array(idx)]
@@ -243,7 +234,8 @@ class ExecutionAgent:
                           - (world.time - world.init_time)[0])
         if_market = remaining_time <= 60
         quant_left = state.task_to_execute - state.quant_executed
-        steps_left = world.max_steps_in_episode - world.step_counter
+        steps_left = jnp.maximum(
+            world.max_steps_in_episode - world.step_counter, 1)
         step_quant = jnp.ceil(quant_left / steps_left).astype(jnp.int32)
         limit_quants = jax.random.permutation(
             key, jnp.stack([step_quant - step_quant // 2, step_quant // 2]),
@@ -254,10 +246,21 @@ class ExecutionAgent:
     def _action_twap_v3(self, action, world, state, params_i, key):
         """twapV3 baseline as a standalone action space: two-level permuted
         TWAP split over the (FT, NT) ladder with the last-minute market-order
-        switch (ref: vision_env.py:578-593); the policy action is ignored."""
+        switch (ref: vision_env.py:578-593); the policy action is ignored.
+        Quantities pass through the reference's round -> clip -> Hamilton
+        truncation (vision_env.py:595-603) so the baseline can never exceed
+        the remaining task (the market-order switch sends step_quant at BOTH
+        levels, which would otherwise overshoot on the final steps)."""
+        k_twap, k_ham = jax.random.split(key)
         prices4 = self._task_prices(world, state)
         prices = jnp.stack([prices4[0], prices4[2]])  # (FT, NT)
-        quants = self._twap_v3_quants(world, state, key)
+        quants = self._twap_v3_quants(world, state, k_twap)
+        remain = state.task_to_execute - state.quant_executed
+        quants = jnp.round(quants).clip(0, remain).astype(jnp.int32)
+        quants = jnp.where(
+            quants.sum() <= remain, quants,
+            hamilton_apportionment_permuted(quants, remain, k_ham)
+        ).astype(jnp.int32)
         return self._make_msgs(world, state, params_i, quants, prices)
 
     def _reshape_action(self, action, world, state, key):
@@ -468,7 +471,18 @@ class ExecutionAgent:
                 reward_scaled = reward / 10
             elif cfg.reward_space == "simplest_case":
                 sign = jnp.where(state.is_sell_task, 1.0, -1.0)
-                reward = sign * (s.agent_pq - state.init_price * agentQuant)
+                # sum((p - init_price) * |q|) computed wrap-free: raw
+                # price*quant sums overflow int32 at LOBSTER notionals and
+                # the f32 subtraction of ~1e9 terms destroys the small true
+                # value.  Fill prices are tick-aligned, so
+                # agent_pq == agent_pq_tick * tick exactly; split init_price
+                # into tick floor (exact int arithmetic, small residual)
+                # plus sub-tick fraction (exact in f32).
+                iq = jnp.floor(state.init_price / tick).astype(jnp.int32)
+                frac = state.init_price - iq.astype(jnp.float32) * tick
+                diff_ticks = s.agent_pq_tick - iq * agentQuant   # int32 exact
+                reward = sign * (diff_ticks.astype(jnp.float32) * tick
+                                 - frac * agentQuant)
                 reward_scaled = reward / cfg.task_size
 
         extras = {

@@ -335,9 +335,13 @@ class MarketMakingAgent:
         new_inventory = state.inventory + st.inventory_delta
 
         mid_price_end = (bestbids[-1][0] + bestasks[-1][0]) / 2
-        income = st.sell_pq
-        outgoing = st.buy_pq
-        PnL = (income - outgoing) / tick
+        # All money terms below use the tick-unit sums (*_pq_tick): the raw
+        # price*quant sums wrap int32 at LOBSTER notionals (a single
+        # episode-end unwind of ~1000 shares at price 2.2e6 exceeds 2^31).
+        # Fill prices are tick-aligned so pq == pq_tick * tick exactly; the
+        # only sub-tick source is a mid-price unwind reference, truncated
+        # to int by summary_add_trade (error < 1 per unwound share).
+        PnL = (st.sell_pq_tick - st.buy_pq_tick).astype(jnp.float32)
 
         if cfg.reference_price_portfolio_value == "mid":
             reference_price = mid_price_end / tick
@@ -359,10 +363,12 @@ class MarketMakingAgent:
 
         InventoryPnL = state.inventory * (mid_price_end - world.mid_price) / tick
         buy_ref = last_mid_price if cfg.based_on_mid_price_of_action else averageMidprice
-        buyPnL = (buy_ref * st.buy_quant - st.buy_pq) / tick
-        sellPnL = (st.sell_pq - buy_ref * st.sell_quant) / tick
-        aggr_buyPnL = (bestasks[-1][0] * st.buy_quant - st.buy_pq) / tick
-        aggr_sellPnL = (st.sell_pq - bestbids[-1][0] * st.sell_quant) / tick
+        buyPnL = buy_ref / tick * st.buy_quant - st.buy_pq_tick
+        sellPnL = st.sell_pq_tick - buy_ref / tick * st.sell_quant
+        aggr_buyPnL = (bestasks[-1][0] / tick * st.buy_quant
+                       - st.buy_pq_tick)
+        aggr_sellPnL = (st.sell_pq_tick
+                        - bestbids[-1][0] / tick * st.sell_quant)
 
         reward_spooner = (aggr_buyPnL + aggr_sellPnL + InventoryPnL
                           - jnp.maximum(0, InventoryPnL))
@@ -376,16 +382,19 @@ class MarketMakingAgent:
                                     - (1 - cfg.asymmetrically_dampened_lambda)
                                     * jnp.maximum(0, InventoryPnL)))
 
-        avg_buy = jnp.where(st.buy_quant > 0,
-                            st.buy_pq / jnp.maximum(st.buy_quant, 1), 0)
-        avg_sell = jnp.where(st.sell_quant > 0,
-                             st.sell_pq / jnp.maximum(st.sell_quant, 1), 0)
+        avg_buy_t = jnp.where(st.buy_quant > 0,
+                              st.buy_pq_tick / jnp.maximum(st.buy_quant, 1),
+                              0)
+        avg_sell_t = jnp.where(st.sell_quant > 0,
+                               st.sell_pq_tick
+                               / jnp.maximum(st.sell_quant, 1), 0)
         approx_realized = jnp.minimum(st.buy_quant, st.sell_quant) \
-            * (avg_sell - avg_buy) / tick
+            * (avg_sell_t - avg_buy_t)
         approx_unrealized = jnp.where(
             st.inventory_delta > 0,
-            st.inventory_delta * (averageMidprice - avg_buy) / tick,
-            jnp.abs(st.inventory_delta) * (avg_sell - averageMidprice) / tick)
+            st.inventory_delta * (averageMidprice / tick - avg_buy_t),
+            jnp.abs(st.inventory_delta)
+            * (avg_sell_t - averageMidprice / tick))
         reward_complex = (approx_realized
                           + cfg.unrealizedPnL_lambda * approx_unrealized
                           + cfg.inventoryPnL_lambda
