@@ -19,10 +19,67 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 BASELINE_ENV_STEPS = 1_000_000.0  # north star: 1M env-steps/sec/chip
+
+
+def _error_json(metric, reason):
+    return json.dumps({"metric": metric, "value": 0.0, "unit": "env-steps/s",
+                       "vs_baseline": 0.0, "error": reason})
+
+
+def probe_backend(metric, timeout_s=150):
+    """Fail-fast TPU-availability probe.
+
+    A wedged axon relay hangs ``jax.devices()`` (and any compile) for the
+    driver's whole budget with zero output — the round-2 BENCH artifact was
+    rc=1/rc=124 with an empty tail twice.  So before touching jax in this
+    process, run a tiny end-to-end computation (device list + matmul +
+    HOST FETCH — block_until_ready alone can lie on this runtime) in a
+    subprocess with a hard timeout.  On failure, print a parseable error
+    JSON line and exit 0 so the driver always records *something*.
+    """
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return  # CPU/local backends don't hang; skip the probe
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((256, 256), jnp.float32)\n"
+        "print('probe ok', jax.devices()[0].platform,\n"
+        "      float(jax.device_get((x @ x).sum())), flush=True)\n"
+    )
+    t0 = time.time()
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(_error_json(metric, f"tpu_unavailable: backend probe hung "
+                                  f">{timeout_s}s (relay wedged?)"))
+        raise SystemExit(0)
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-1:]
+        print(_error_json(metric, "tpu_unavailable: probe rc="
+                          f"{r.returncode} {' '.join(tail)[:200]}"))
+        raise SystemExit(0)
+    print(f"# backend probe ok in {time.time()-t0:.1f}s", file=sys.stderr)
+
+
+def arm_deadline(metric, seconds):
+    """Last-resort watchdog: if the bench has not finished ``seconds`` after
+    arming (relay wedged mid-run, compile stuck), print an error JSON line
+    and hard-exit so the driver's artifact is never empty."""
+    def fire():
+        print(_error_json(metric, f"bench_deadline_exceeded: no result "
+                                  f"after {seconds}s"), flush=True)
+        os._exit(3)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def main():
@@ -47,10 +104,20 @@ def main():
                         "realistic serving/training pattern); scan: one fused "
                         "lax.scan rollout")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--deadline", type=float, default=1500.0,
+                   help="hard wall-clock budget (s); on expiry an error "
+                        "JSON line is printed and the process exits, so a "
+                        "mid-run relay wedge can't produce an empty artifact")
     args = p.parse_args()
 
     if args.smoke:
         args.envs, args.steps, args.reps, args.data_msgs = 8, 4, 1, 10
+
+    metric = (f"vit_fwd_bwd_images_per_sec[{args.policy}]" if args.vit_images
+              else "kernel_selfcheck_ok" if args.selfcheck
+              else f"env_steps_per_sec_per_chip[{args.policy},{args.mode}]")
+    probe_backend(metric)
+    watchdog = arm_deadline(metric, args.deadline)
 
     import jax
     import jax.numpy as jnp
@@ -59,10 +126,14 @@ def main():
 
     enable_compilation_cache()
 
-    if args.vit_images:
-        return bench_vit_images(args)
-    if args.selfcheck:
-        return kernel_selfcheck()
+    try:
+        if args.vit_images:
+            return bench_vit_images(args)
+        if args.selfcheck:
+            return kernel_selfcheck()
+    finally:
+        if args.vit_images or args.selfcheck:
+            watchdog.cancel()
 
     from vit_marl_tpu.config import (
         ExecutionConfig,
@@ -189,6 +260,7 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(rate / BASELINE_ENV_STEPS, 4),
     }
+    watchdog.cancel()
     print(json.dumps(result))
     print(f"# device={jax.devices()[0].platform} envs={args.envs} "
           f"steps={args.steps} reps={args.reps} msgs/step="

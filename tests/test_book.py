@@ -201,3 +201,23 @@ def test_orderbook_facade_reset_and_process():
         return ob_.get_l2_state(s, 2)
 
     assert f(ob, state).shape == (8,)
+
+
+def test_is_sorted_arena_detects_unsorted():
+    """Debug invariant check: engine-produced sides pass; a shuffled
+    external side fails until canonicalised with sort_side (ADVICE r2:
+    _side_levels silently mis-levels unsorted books)."""
+    key = jax.random.PRNGKey(7)
+    prices = jnp.array([100, 101, -1, 103, 104, -1, 105, 106], jnp.int32)
+    side = bk.SideState(price=prices, quant=jnp.abs(prices),
+                        oid=prices, tid=prices,
+                        time_s=jnp.zeros_like(prices),
+                        time_ns=jnp.zeros_like(prices))
+    assert bool(bk.is_sorted_arena(side, is_bid=False))
+    assert not bool(bk.is_sorted_arena(side, is_bid=True))
+    perm = jax.random.permutation(key, prices.shape[0])
+    shuffled = jax.tree.map(lambda v: v[perm], side)
+    # the shuffle used must actually break ask ordering for the test to bite
+    assert not bool(bk.is_sorted_arena(shuffled, is_bid=False))
+    assert bool(bk.is_sorted_arena(bk.sort_side(shuffled, is_bid=False),
+                                   is_bid=False))

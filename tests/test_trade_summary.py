@@ -45,15 +45,11 @@ def test_summarize_matches_log_reductions(seed):
     assert int(s.sell_quant) == int(st.sell_quant)
     assert int(s.signed_sum) == int(st.agent_trades[:, 1].sum())
     buys, sells = st.agent_buys, st.agent_sells
-    assert int(s.buy_pq) == int((buys[:, 0] * jnp.abs(buys[:, 1])).sum())
-    assert int(s.sell_pq) == int((sells[:, 0] * jnp.abs(sells[:, 1])).sum())
     assert int(s.buy_pq_tick) == int(
         (buys[:, 0] // TICK * jnp.abs(buys[:, 1])).sum())
     # once-per-row sums (self-trades counted once, like the reference's
     # row-wise agentTrades reductions)
     assert int(s.agent_quant_abs) == int(jnp.abs(st.agent_trades[:, 1]).sum())
-    assert int(s.agent_pq) == int(
-        (st.agent_trades[:, 0] * jnp.abs(st.agent_trades[:, 1])).sum())
     assert int(s.agent_pq_tick) == int(
         (st.agent_trades[:, 0] // TICK * jnp.abs(st.agent_trades[:, 1])).sum())
     assert int(s.dur_wsum) == int(

@@ -1,0 +1,178 @@
+"""Stage decomposition of the ViT forward at bench shapes (VERDICT r2 #2).
+
+Times jitted sub-stacks of the ViT-Small forward at B envs so the 58 ms
+headline can be attributed (attention vs MLP vs LN/embed) and compared to
+the bf16 roofline.  Methodology per CLAUDE.md: every timing varies its
+input each iteration (the axon relay dedupes identical executions) and
+ends with a real host fetch (block_until_ready can lie).
+
+Usage:  python tools/profile_vit.py [--envs 8192] [--preset small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def timed(fn, x, reps=10, warmup=2):
+    """Median seconds per call; feeds the output back so inputs vary."""
+    fn = jax.jit(fn)
+    out = fn(x)
+    jax.block_until_ready(out)
+    float(jax.device_get(jax.tree.leaves(out)[0]).ravel()[0])
+    ts = []
+    cur = x
+    for i in range(reps + warmup):
+        t0 = time.time()
+        out = fn(cur)
+        float(jax.device_get(jax.tree.leaves(out)[0]).ravel()[0])
+        ts.append(time.time() - t0)
+        # perturb: fold the (different-every-iter) output back into x
+        delta = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
+        cur = jax.tree.map(lambda v: v + (delta * 1e-9).astype(v.dtype), x)
+    ts = sorted(ts[warmup:])
+    return ts[len(ts) // 2]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--envs", type=int, default=8192)
+    p.add_argument("--preset", default="small")
+    p.add_argument("--reps", type=int, default=10)
+    args = p.parse_args()
+
+    from vit_marl_tpu.models import VIT_PRESETS, ViTActorCriticRNN
+    from vit_marl_tpu.models.rnn import ScannedGRU
+    from vit_marl_tpu.models.vit import MHA, Block, ViTConfig, ViTEncoder
+    from vit_marl_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import dataclasses
+
+    B = args.envs
+    cfg: ViTConfig = VIT_PRESETS[args.preset]
+    cfg = dataclasses.replace(cfg, remat=False)  # forward-only timings
+    N = 11  # 10 levels + CLS
+    W = cfg.width
+    key = jax.random.PRNGKey(0)
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    results = {}
+
+    # ---- full policy forward (the bench configuration) ----
+    net = ViTActorCriticRNN(action_dim=3, vit=cfg, fc_dim=64, hidden_size=64,
+                            continuous=True,
+                            action_low=jnp.array([-1.0, 0.0, 0.0]),
+                            action_high=jnp.array([3.0, 1.0, 1.0]))
+    obs = {"obs": jax.random.normal(key, (1, B, 28), jnp.float32),
+           "vision_obs": jax.random.normal(key, (1, B, 10, 3, 2),
+                                           jnp.float32)}
+    dones = jnp.zeros((1, B), jnp.float32)
+    h0 = ScannedGRU.initialize_carry(B, 64)
+    params = net.init(key, h0, (obs, dones))
+
+    def full_fwd(o):
+        h2, pi, v = net.apply(params, h0, (o, dones))
+        return pi.mode()
+
+    results["full_policy_fwd"] = timed(full_fwd, obs, args.reps)
+
+    # ---- encoder alone ----
+    enc = ViTEncoder(cfg)
+    img = jax.random.normal(key, (B, 10, 3, 2), jnp.float32)
+    eparams = enc.init(key, img)
+    results["vit_encoder"] = timed(lambda im: enc.apply(eparams, im), img,
+                                   args.reps)
+
+    # ---- 12x attention sub-stack (LN + MHA + residual) ----
+    class AttnStack(nn.Module):
+        cfg: ViTConfig
+
+        @nn.compact
+        def __call__(self, x):
+            for i in range(self.cfg.depth):
+                h = nn.LayerNorm(dtype=jnp.float32)(x).astype(dtype)
+                x = x + MHA(self.cfg, name=f"attn{i}")(h)
+            return x.astype(jnp.float32)
+
+    xtok = jax.random.normal(key, (B, N, W), jnp.float32)
+    astack = AttnStack(cfg)
+    aparams = astack.init(key, xtok)
+    results["attn_stack_x12"] = timed(lambda x: astack.apply(aparams, x),
+                                      xtok, args.reps)
+
+    # ---- 12x MLP sub-stack (LN + MLP + residual), fused and unfused ----
+    for fused in (False, True):
+        c2 = dataclasses.replace(cfg, fused_mlp=fused)
+
+        class MLPStack(nn.Module):
+            cfg: ViTConfig
+
+            @nn.compact
+            def __call__(self, x):
+                from vit_marl_tpu.ops.mlp_kernel import fused_mlp as fmlp
+                c = self.cfg
+                for i in range(c.depth):
+                    h = nn.LayerNorm(dtype=jnp.float32,
+                                     name=f"ln{i}")(x).astype(dtype)
+                    if c.fused_mlp:
+                        init = nn.initializers.lecun_normal()
+                        w1 = self.param(f"w1_{i}", init, (W, W * c.mlp_ratio))
+                        b1 = self.param(f"b1_{i}", nn.initializers.zeros,
+                                        (W * c.mlp_ratio,))
+                        w2 = self.param(f"w2_{i}", init, (W * c.mlp_ratio, W))
+                        b2 = self.param(f"b2_{i}", nn.initializers.zeros, (W,))
+                        Bx, Nx, _ = h.shape
+                        o = fmlp(h.reshape(Bx * Nx, W), w1.astype(dtype), b1,
+                                 w2.astype(dtype), b2, False)
+                        h = o.reshape(Bx, Nx, W)
+                    else:
+                        h = nn.Dense(W * c.mlp_ratio, dtype=dtype,
+                                     name=f"mlp1_{i}")(h)
+                        h = nn.gelu(h)
+                        h = nn.Dense(W, dtype=dtype, name=f"mlp2_{i}")(h)
+                    x = x + h
+                return x.astype(jnp.float32)
+
+        mstack = MLPStack(c2)
+        mparams = mstack.init(key, xtok)
+        label = "mlp_stack_x12_fused" if fused else "mlp_stack_x12"
+        results[label] = timed(lambda x, m=mstack, p=mparams: m.apply(p, x),
+                               xtok, args.reps)
+
+    # ---- LN-only stack (the f32 islands) ----
+    class LNStack(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(cfg.depth * 2):
+                x = nn.LayerNorm(dtype=jnp.float32)(x)
+            return x
+
+    lstack = LNStack()
+    lparams = lstack.init(key, xtok)
+    results["ln_stack_x24"] = timed(lambda x: lstack.apply(lparams, x),
+                                    xtok, args.reps)
+
+    # ---- roofline ----
+    # per block: qkv 2*3*N*W^2 + proj 2*N*W^2 + mlp 2*2*N*W*4W = (6+2+16)*N*W^2
+    flops_env = cfg.depth * (6 + 2 + 16) * N * W * W
+    total_tflop = flops_env * B / 1e12
+    peak_bf16 = 197.0  # v5e TFLOP/s
+    print(f"\n# {args.preset} B={B} N={N} W={W}: {flops_env/1e6:.0f} MFLOP/env, "
+          f"{total_tflop:.2f} TFLOP/fwd, bf16 roofline "
+          f"{total_tflop/peak_bf16*1e3:.1f} ms")
+    for k, v in results.items():
+        mfu = total_tflop / peak_bf16 / v if k in ("full_policy_fwd",
+                                                   "vit_encoder") else float("nan")
+        print(f"{k:24s} {v*1e3:8.2f} ms" +
+              (f"   MFU={mfu*100:.0f}%" if mfu == mfu else ""))
+    print(f"# device={jax.devices()[0].platform}")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,15 +131,16 @@ class TradeSummary(NamedTuple):
 
     buy_quant: Array      # sum |q| over this agent's buy fills
     sell_quant: Array     # sum |q| over this agent's sell fills
-    buy_pq: Array         # sum price*|q| over buys (raw price units)
-    sell_pq: Array
+    # All notional sums are in TICK units ((price//tick)*|q|): raw
+    # price*quant sums overflow int32 at LOBSTER notionals (a $200 stock
+    # traded 100k shares/step is 2e9 > 2^31), so no raw-price field is
+    # exposed at all — multiply by tick at the consumer in f32 if needed.
     buy_pq_tick: Array    # sum (price//tick)*|q| over buys
     sell_pq_tick: Array
     # once-per-row sums over the agent's trades.  A self-trade (agent on
     # both sides of a fill) appears in BOTH buy_* and sell_* (reference
     # mask semantics) but only once here (reference row-wise reductions).
     agent_quant_abs: Array   # sum |q|
-    agent_pq: Array          # sum price*|q|
     agent_pq_tick: Array     # sum (price//tick)*|q|
     # sum trades[:, -2]*|q| over agent trades.  Column -2 is passive_tid;
     # the reference's trade_duration multiplies by it (vision_env.py:2247),
@@ -188,12 +189,9 @@ def summarize_trades(trades: Array, trader_id: Array, tick: int
     return TradeSummary(
         buy_quant=msum(mask_buy, q),
         sell_quant=msum(mask_sell, q),
-        buy_pq=msum(mask_buy, p * q),
-        sell_pq=msum(mask_sell, p * q),
         buy_pq_tick=msum(mask_buy, pt * q),
         sell_pq_tick=msum(mask_sell, pt * q),
         agent_quant_abs=msum(mine, q),
-        agent_pq=msum(mine, p * q),
         agent_pq_tick=msum(mine, pt * q),
         dur_wsum=msum(mine, executed[:, TradeCol.PASS_TID] * q),
         signed_sum=jnp.sum(jnp.where(mine, q_signed, 0)),
@@ -243,12 +241,9 @@ def summary_add_trade(s: TradeSummary, enabled: Array, trader_id: Array,
     return TradeSummary(
         buy_quant=add(s.buy_quant, is_buy, q),
         sell_quant=add(s.sell_quant, is_sell, q),
-        buy_pq=add(s.buy_pq, is_buy, price * q),
-        sell_pq=add(s.sell_pq, is_sell, price * q),
         buy_pq_tick=add(s.buy_pq_tick, is_buy, pt * q),
         sell_pq_tick=add(s.sell_pq_tick, is_sell, pt * q),
         agent_quant_abs=add(s.agent_quant_abs, mine, q),
-        agent_pq=add(s.agent_pq, mine, price * q),
         agent_pq_tick=add(s.agent_pq_tick, mine, pt * q),
         dur_wsum=add(s.dur_wsum, mine, pass_tid * q),
         signed_sum=add(s.signed_sum, mine, quant_signed),

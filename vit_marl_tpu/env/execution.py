@@ -349,6 +349,13 @@ class ExecutionAgent:
         """(ref: vision_env.py:1537-1587; action reshaping from the
         fork's _reshape_action, vision_env.py:577-610)"""
         if key is None:
+            if self.cfg.action_space in ("fixed_prices", "twap_v3"):
+                # these spaces consume randomness (Hamilton tie-break
+                # permutation / twapV3 level split); a silent fixed key
+                # would degenerate the randomisation every step
+                raise ValueError(
+                    f"action_space={self.cfg.action_space!r} requires a PRNG "
+                    "key: pass key= to get_messages")
             key = jax.random.PRNGKey(0)
         key, k_reshape = jax.random.split(key)
         if self.cfg.action_space == "fixed_prices":

@@ -70,6 +70,13 @@ class WorldEnv:
         import os
         self._ablate = set(filter(None, os.environ.get(
             "VIT_MARL_ABLATE", "").split(",")))
+        if self._ablate:
+            import sys
+            print(f"WARNING: VIT_MARL_ABLATE={sorted(self._ablate)} — "
+                  "step stages are SKIPPED in the jitted step. This is a "
+                  "profiling mode; semantics are broken (zeroed messages/"
+                  "observations). Unset the env var for real runs.",
+                  file=sys.stderr)
         self._world_params = env_base.make_world_params(self.wcfg, key, data)
         self.n_windows = int(
             self._world_params.init_states.window_index.shape[0])

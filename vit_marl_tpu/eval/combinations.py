@@ -22,8 +22,16 @@ Array = jax.Array
 
 
 def rollout(env: WorldEnv, params, policies: Sequence, num_envs: int,
-            num_steps: int, rng: Array, hidden_size: int = 64) -> Dict:
-    """Roll out one policy assignment; returns stacked rewards/dones/infos."""
+            num_steps: int, rng: Array, hidden_size: int = 64,
+            mode: str = "sample") -> Dict:
+    """Roll out one policy assignment; returns stacked rewards/dones/infos.
+
+    ``mode``: "sample" draws actions from each policy's distribution (the
+    reference's eval behaviour — baseline_JAXMARL.py samples from pi);
+    "greedy" takes the distribution mode.
+    """
+    if mode not in ("sample", "greedy"):
+        raise ValueError(f"mode must be 'sample' or 'greedy', got {mode!r}")
     n_types = len(env.agent_types)
     num_actors = [n * num_envs for n in env.n_per_type]
 
@@ -44,7 +52,7 @@ def rollout(env: WorldEnv, params, policies: Sequence, num_envs: int,
                 obs[i])
             h, pi, _ = pol.apply(None, hstates[i], (obs_i, dones[i][None]))
             new_h[i] = h
-            a = pi.sample(seed=krng)
+            a = pi.sample(seed=krng) if mode == "sample" else pi.mode()
             a = jax.tree.map(lambda v: v[0], a)
             a = a.reshape((num_envs, env.n_per_type[i]) + a.shape[1:])
             actions.append(a.squeeze() if env.n_per_type[i] == 1 else a)
@@ -68,7 +76,7 @@ def rollout(env: WorldEnv, params, policies: Sequence, num_envs: int,
 
 def evaluate_combinations(env: WorldEnv, params, learned: Sequence,
                           baseline: Sequence, num_envs: int, num_steps: int,
-                          rng: Array) -> Dict[str, Dict]:
+                          rng: Array, mode: str = "sample") -> Dict[str, Dict]:
     """All 2^n {L, B} assignments -> combo label -> rollout summary."""
     n_types = len(env.agent_types)
     results = {}
@@ -77,7 +85,8 @@ def evaluate_combinations(env: WorldEnv, params, learned: Sequence,
         policies = [learned[i] if m == "L" else baseline[i]
                     for i, m in enumerate(mask)]
         rng, sub = jax.random.split(rng)
-        traj = rollout(env, params, policies, num_envs, num_steps, sub)
+        traj = rollout(env, params, policies, num_envs, num_steps, sub,
+                       mode=mode)
         summary = {
             "mean_rewards": [float(jnp.mean(r)) for r in traj["rewards"]],
             "episode_done_frac": float(jnp.mean(traj["dones"])),

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--num-steps", type=int, default=50)
     p.add_argument("--out-dir", default="eval_out")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--greedy", action="store_true",
+                   help="take distribution modes instead of sampling "
+                        "(default samples, matching the reference eval — "
+                        "ref: baseline_JAXMARL.py samples from pi)")
     args = p.parse_args()
 
     import jax
@@ -97,7 +101,8 @@ def main():
 
     results = evaluate_combinations(env, params, learned, baseline,
                                     args.num_envs, args.num_steps,
-                                    jax.random.PRNGKey(args.seed))
+                                    jax.random.PRNGKey(args.seed),
+                                    mode="greedy" if args.greedy else "sample")
 
     os.makedirs(args.out_dir, exist_ok=True)
     summary = {combo: {"mean_rewards": r["mean_rewards"],

@@ -86,6 +86,32 @@ def canonicalize_book(book: "BookState") -> "BookState":
                         bids=sort_side(book.bids, is_bid=True))
 
 
+def is_sorted_arena(side: SideState, is_bid: bool) -> Array:
+    """Debug check of the sorted-arena invariant (bool scalar).
+
+    True iff occupied-slot prices are price-priority ordered (non-decreasing
+    for asks / non-increasing for bids) over the arena — the precondition of
+    :func:`_side_levels` and the engine itself.  Cheap (one scan) but not
+    free: use in tests/assertions, not on the hot path.
+    """
+    occ = side.price != EMPTY_SLOT
+    key = jnp.where(is_bid, -side.price, side.price)
+    # forward-fill the previous occupied key; every occupied slot must be
+    # >= it (time keys are not checked — price ordering is what _side_levels
+    # and the match loop rely on structurally)
+    def combine(a, b):
+        va, oa = a
+        vb, ob = b
+        return jnp.where(ob, vb, va), oa | ob
+
+    shifted_k = jnp.concatenate(
+        [jnp.full((1,), jnp.iinfo(jnp.int32).min, key.dtype), key[:-1]])
+    shifted_o = jnp.concatenate([jnp.zeros((1,), bool), occ[:-1]])
+    prev_k, prev_o = jax.lax.associative_scan(combine, (shifted_k, shifted_o))
+    ok = ~occ | ~prev_o | (key >= prev_k)
+    return jnp.all(ok)
+
+
 def init_side(n_orders: int) -> SideState:
     """All-empty side (ref: JaxOrderBookArrays.py:901-911)."""
     empty = jnp.full((n_orders,), EMPTY_SLOT, dtype=jnp.int32)

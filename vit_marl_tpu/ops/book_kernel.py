@@ -69,9 +69,9 @@ def _last_idx(mask: Array, default: int) -> Array:
 REC_GROUP = 16       # messages per record-DMA (amortises DMA overhead)
 REC_K = 16           # max recorded fills per message (in-kernel compaction)
 
-# per-agent aggregate stat planes (mirrors env.common.TradeSummary)
-AGG_STATS = 11       # buy_q, sell_q, buy_pq, sell_pq, buy_pqt, sell_pqt,
-#                      a_q, a_pq, a_pqt, dur, signed
+# per-agent aggregate stat planes (mirrors env.common.TradeSummary; all
+# notionals in tick units — raw price*quant wraps int32 at LOBSTER scale)
+AGG_STATS = 8        # buy_q, sell_q, buy_pqt, sell_pqt, a_q, a_pqt, dur, signed
 AGG_TOTALS = 2       # total_q, total_pq_tick
 
 
@@ -242,7 +242,6 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
                         return jnp.sum(jnp.where(mask, v, 0), axis=0,
                                        keepdims=True)
 
-                    mp = matched * Xp
                     mpt = matched * (Xp // tick)
                     mt = matched * Xt
                     s_pos = s == 1                 # (1, E)
@@ -266,15 +265,12 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
                             o = AGG_STATS * k
                             bump(o + 0, rsum(buy_rows, matched))
                             bump(o + 1, rsum(sell_rows, matched))
-                            bump(o + 2, rsum(buy_rows, mp))
-                            bump(o + 3, rsum(sell_rows, mp))
-                            bump(o + 4, rsum(buy_rows, mpt))
-                            bump(o + 5, rsum(sell_rows, mpt))
-                            bump(o + 6, rsum(involved, matched))
-                            bump(o + 7, rsum(involved, mp))
-                            bump(o + 8, rsum(involved, mpt))
-                            bump(o + 9, rsum(involved, mt))
-                            bump(o + 10, -s * rsum(involved, matched))
+                            bump(o + 2, rsum(buy_rows, mpt))
+                            bump(o + 3, rsum(sell_rows, mpt))
+                            bump(o + 4, rsum(involved, matched))
+                            bump(o + 5, rsum(involved, mpt))
+                            bump(o + 6, rsum(involved, mt))
+                            bump(o + 7, -s * rsum(involved, matched))
 
             Xq = Xq - matched
             wipe_m = was & (Xq <= 0)

@@ -105,6 +105,11 @@ def _make_eval_env(ma_config: MultiAgentConfig, cfg: TrainConfig,
         seed = cfg.eval_data_seed if cfg.eval_data_seed >= 0 else wcfg.seed + 1
         ew = dataclasses.replace(wcfg, seed=seed)
         return WorldEnv(dataclasses.replace(ma_config, world=ew))
+    import sys
+    print("WARNING: eval env shares the TRAINING data (LOBSTER data is "
+          "configured but EVAL_TIME_PERIOD is unset) — eval curves are "
+          "in-sample. Set EVAL_TIME_PERIOD for held-out eval.",
+          file=sys.stderr)
     return train_env
 
 

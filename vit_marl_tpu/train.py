@@ -77,7 +77,27 @@ def main():
         else:
             print("pallas book kernel: ENABLED")
 
-    train = make_train(ma_config, train_config, env=env)
+    mesh = None
+    if train_config.mesh_shape:
+        import numpy as np
+
+        from vit_marl_tpu.parallel import make_mesh
+
+        need = int(np.prod(train_config.mesh_shape))
+        have = len(jax.devices())
+        if have < need:
+            raise SystemExit(
+                f"MESH_SHAPE={train_config.mesh_shape} needs {need} devices "
+                f"but only {have} are visible. For a virtual CPU mesh set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={need} "
+                "and force the cpu backend.")
+        mesh = make_mesh(tuple(train_config.mesh_shape),
+                         train_config.mesh_axes)
+        print(f"mesh: {dict(zip(train_config.mesh_axes, train_config.mesh_shape))} "
+              f"over {need} {jax.devices()[0].platform} devices "
+              "(GSPMD data-parallel training)")
+
+    train = make_train(ma_config, train_config, env=env, mesh=mesh)
     t0 = time.time()
     out = train(jax.random.PRNGKey(train_config.seed))
     wall = time.time() - t0
