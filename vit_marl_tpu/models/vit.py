@@ -69,24 +69,36 @@ VIT_PRESETS = {
 }
 
 
-def dot_product_attention(q: Array, k: Array, v: Array, dtype) -> Array:
-    """(B, H, N, D) attention.  Seam for a Pallas flash kernel at longer N.
+def attention_nhd(qkv: Array, dtype) -> Array:
+    """Short-sequence attention in the native ``(B, N, 3, H, D)`` layout.
 
-    For short sequences (book images: N ~ levels + 1) the einsum form
-    lowers to B*H tiny batched MXU matmuls (e.g. 49k instances of
-    11x64x11 at 8192 envs), each wasting the 128x128 systolic array —
-    measured 117 ms of a 152 ms ViT-Small forward.  A broadcast-multiply-
-    reduce keeps the work on the VPU with the batch on lanes instead
-    (58 ms total).  Large N keeps the MXU einsum path.
+    For book images (N ~ levels + 1) the einsum form lowers to B*H tiny
+    batched MXU matmuls (e.g. 49k instances of 11x64x11 at 8192 envs), each
+    wasting the 128x128 systolic array — measured 117 ms of a 152 ms
+    ViT-Small forward.  A broadcast-multiply-reduce keeps the work on the
+    VPU — and staying in the (B, N, H, D) layout the QKV projection already
+    produced avoids the four (B·N·W)-element transposes per block that the
+    canonical (B, H, N, D) layout costs (the output reshape to (B, N, W) is
+    then free: H·D are the contiguous minor dims).
+
+    Returns (B, N, H, D).
     """
+    q = qkv[:, :, 0]                      # (B, N, H, D), contiguous slices
+    k = qkv[:, :, 1]
+    v = qkv[:, :, 2]
     scale = q.shape[-1] ** -0.5
-    if q.shape[-2] <= 32:
-        # dtype=f32 keeps the accumulation f32 like the einsum path's
-        # preferred_element_type (a 64-term bf16 tree-sum drifts ~0.4%)
-        logits = jnp.sum((q * scale)[:, :, :, None, :] * k[:, :, None, :, :],
-                         axis=-1, dtype=jnp.float32)
-        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        return jnp.sum(weights[..., None] * v[:, :, None, :, :], axis=3)
+    # dtype=f32 keeps the accumulation f32 like the einsum path's
+    # preferred_element_type (a 64-term bf16 tree-sum drifts ~0.4%)
+    logits = jnp.sum((q * scale)[:, :, None, :, :] * k[:, None, :, :, :],
+                     axis=-1, dtype=jnp.float32)     # (B, Nq, Nk, H)
+    weights = jax.nn.softmax(logits, axis=2).astype(dtype)
+    return jnp.sum(weights[..., None] * v[:, None, :, :, :], axis=2)
+
+
+def dot_product_attention(q: Array, k: Array, v: Array, dtype) -> Array:
+    """(B, H, N, D) attention on the MXU.  Used for long sequences; the
+    seam for a Pallas flash kernel if images ever grow past VMEM."""
+    scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
@@ -105,9 +117,12 @@ class MHA(nn.Module):
         head_dim = W // c.heads
         qkv = nn.Dense(3 * W, dtype=dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, c.heads, head_dim)
-        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
-        out = dot_product_attention(q, k, v, dtype)
-        out = jnp.moveaxis(out, 1, 2).reshape(B, N, W)
+        if N <= 32:
+            out = attention_nhd(qkv, dtype)          # (B, N, H, D), no moves
+        else:
+            q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
+            out = jnp.moveaxis(dot_product_attention(q, k, v, dtype), 1, 2)
+        out = out.reshape(B, N, W)
         return nn.Dense(W, dtype=dtype, name="proj")(out)
 
 
