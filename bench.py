@@ -104,6 +104,10 @@ def main():
                         "realistic serving/training pattern); scan: one fused "
                         "lax.scan rollout")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="use the fused Pallas MLP in ViT blocks "
+                        "(ops/mlp_kernel.py, ROW_BLOCK=2048) for the A/B "
+                        "against XLA's unfused MLP")
     p.add_argument("--deadline", type=float, default=1500.0,
                    help="hard wall-clock budget (s); on expiry an error "
                         "JSON line is printed and the process exits, so a "
@@ -113,9 +117,11 @@ def main():
     if args.smoke:
         args.envs, args.steps, args.reps, args.data_msgs = 8, 4, 1, 10
 
+    fused_tag = ",fused" if args.fused_mlp else ""
     metric = (f"vit_fwd_bwd_images_per_sec[{args.policy}]" if args.vit_images
               else "kernel_selfcheck_ok" if args.selfcheck
-              else f"env_steps_per_sec_per_chip[{args.policy},{args.mode}]")
+              else f"env_steps_per_sec_per_chip[{args.policy}{fused_tag},"
+                   f"{args.mode}]")
     probe_backend(metric)
     watchdog = arm_deadline(metric, args.deadline)
 
@@ -187,7 +193,8 @@ def main():
         tc = TrainConfig(
             num_envs=args.envs,
             network=("gru", "vit_gru") if use_vision else ("gru", "gru"),
-            vit_preset=preset or "tiny")
+            vit_preset=preset or "tiny",
+            vit_fused_mlp=args.fused_mlp)
         nets, net_params, hs = [], [], []
         for i in range(n_types):
             net = make_network(tc, i, env.action_spaces[i],
@@ -255,7 +262,7 @@ def main():
     rate = env_steps / dt
 
     result = {
-        "metric": f"env_steps_per_sec_per_chip[{args.policy},{args.mode}]",
+        "metric": metric,
         "value": round(rate, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / BASELINE_ENV_STEPS, 4),

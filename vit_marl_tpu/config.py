@@ -362,6 +362,9 @@ class TrainConfig:
     eval_time_period: str = ""
     eval_data_seed: int = -1         # -1 -> auto (world seed + 1 on synthetic)
     vit_preset: str = "tiny"         # "tiny" | "small" | "base"
+    # use the fused Pallas MLP kernel in ViT blocks (ops/mlp_kernel.py);
+    # falls back to the unfused path off-TPU or for untiled row counts
+    vit_fused_mlp: bool = False
     seed: int = 30
     # distributed
     mesh_shape: Tuple[int, ...] = ()   # () -> single device

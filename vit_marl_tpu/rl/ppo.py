@@ -67,8 +67,12 @@ def make_network(cfg: TrainConfig, i: int, action_space, obs_space):
         action_dim = int(action_space.n)
         low = high = None
     if kind == "vit_gru":
+        import dataclasses as _dc
+        vit_cfg = VIT_PRESETS[cfg.vit_preset]
+        if cfg.vit_fused_mlp != vit_cfg.fused_mlp:
+            vit_cfg = _dc.replace(vit_cfg, fused_mlp=cfg.vit_fused_mlp)
         return ViTActorCriticRNN(
-            action_dim=action_dim, vit=VIT_PRESETS[cfg.vit_preset],
+            action_dim=action_dim, vit=vit_cfg,
             fc_dim=cfg.fc_dim, hidden_size=cfg.hidden_size,
             continuous=continuous, action_low=low, action_high=high)
     return ActorCriticRNN(
