@@ -28,12 +28,12 @@ import time
 BASELINE_ENV_STEPS = 1_000_000.0  # north star: 1M env-steps/sec/chip
 
 
-def _error_json(metric, reason):
-    return json.dumps({"metric": metric, "value": 0.0, "unit": "env-steps/s",
+def _error_json(metric, reason, unit="env-steps/s"):
+    return json.dumps({"metric": metric, "value": 0.0, "unit": unit,
                        "vs_baseline": 0.0, "error": reason})
 
 
-def probe_backend(metric, timeout_s=150):
+def probe_backend(metric, timeout_s=240, unit="env-steps/s"):
     """Fail-fast TPU-availability probe.
 
     A wedged axon relay hangs ``jax.devices()`` (and any compile) for the
@@ -47,6 +47,10 @@ def probe_backend(metric, timeout_s=150):
     if os.environ.get("JAX_PLATFORMS", "") != "axon":
         return  # CPU/local backends don't hang; skip the probe
     code = (
+        "import sys, os\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "from vit_marl_tpu.utils.cache import enable_compilation_cache\n"
+        "enable_compilation_cache()\n"  # warm/share the persistent cache
         "import jax, jax.numpy as jnp\n"
         "x = jnp.ones((256, 256), jnp.float32)\n"
         "print('probe ok', jax.devices()[0].platform,\n"
@@ -58,23 +62,23 @@ def probe_backend(metric, timeout_s=150):
                            capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
         print(_error_json(metric, f"tpu_unavailable: backend probe hung "
-                                  f">{timeout_s}s (relay wedged?)"))
+                                  f">{timeout_s}s (relay wedged?)", unit))
         raise SystemExit(0)
     if r.returncode != 0:
         tail = (r.stderr or "").strip().splitlines()[-1:]
         print(_error_json(metric, "tpu_unavailable: probe rc="
-                          f"{r.returncode} {' '.join(tail)[:200]}"))
+                          f"{r.returncode} {' '.join(tail)[:200]}", unit))
         raise SystemExit(0)
     print(f"# backend probe ok in {time.time()-t0:.1f}s", file=sys.stderr)
 
 
-def arm_deadline(metric, seconds):
+def arm_deadline(metric, seconds, unit="env-steps/s"):
     """Last-resort watchdog: if the bench has not finished ``seconds`` after
     arming (relay wedged mid-run, compile stuck), print an error JSON line
     and hard-exit so the driver's artifact is never empty."""
     def fire():
         print(_error_json(metric, f"bench_deadline_exceeded: no result "
-                                  f"after {seconds}s"), flush=True)
+                                  f"after {seconds}s", unit), flush=True)
         os._exit(3)
     t = threading.Timer(seconds, fire)
     t.daemon = True
@@ -117,13 +121,23 @@ def main():
     if args.smoke:
         args.envs, args.steps, args.reps, args.data_msgs = 8, 4, 1, 10
 
-    fused_tag = ",fused" if args.fused_mlp else ""
-    metric = (f"vit_fwd_bwd_images_per_sec[{args.policy}]" if args.vit_images
-              else "kernel_selfcheck_ok" if args.selfcheck
-              else f"env_steps_per_sec_per_chip[{args.policy}{fused_tag},"
-                   f"{args.mode}]")
-    probe_backend(metric)
-    watchdog = arm_deadline(metric, args.deadline)
+    # the ",fused" tag only means something when a ViT forward is measured
+    fused_tag = ",fused" if (args.fused_mlp
+                             and (args.vit_images
+                                  or args.policy.startswith("vit"))) else ""
+    preset = {"none": "small", "gru": "small", "vit-tiny": "tiny",
+              "vit-small": "small", "vit-base": "base"}[args.policy]
+    if args.vit_images:
+        metric = f"vit_fwd_bwd_images_per_sec[{preset}{fused_tag}]"
+        unit = "images/s"
+    elif args.selfcheck:
+        metric, unit = "kernel_selfcheck_ok", "bool"
+    else:
+        metric = (f"env_steps_per_sec_per_chip[{args.policy}{fused_tag},"
+                  f"{args.mode}]")
+        unit = "env-steps/s"
+    probe_backend(metric, unit=unit)
+    watchdog = arm_deadline(metric, args.deadline, unit=unit)
 
     import jax
     import jax.numpy as jnp
@@ -134,7 +148,7 @@ def main():
 
     try:
         if args.vit_images:
-            return bench_vit_images(args)
+            return bench_vit_images(args, preset, metric)
         if args.selfcheck:
             return kernel_selfcheck()
     finally:
@@ -351,7 +365,7 @@ def kernel_selfcheck():
         raise SystemExit(1)
 
 
-def bench_vit_images(args):
+def bench_vit_images(args, preset, metric):
     """BASELINE.json metric #2: ViT fwd+bwd images/sec inside a PPO update.
 
     Times one PPO minibatch step (clipped-surrogate loss value_and_grad +
@@ -359,6 +373,7 @@ def bench_vit_images(args):
     iteration feeds the updated params back in, so inputs differ per call
     (the axon relay dedupes identical executions).
     """
+    import dataclasses
     import time as _time
 
     import jax
@@ -368,11 +383,11 @@ def bench_vit_images(args):
     from vit_marl_tpu.models import VIT_PRESETS, ViTActorCriticRNN
     from vit_marl_tpu.models.rnn import ScannedGRU
 
-    preset = {"gru": "small", "vit-tiny": "tiny", "vit-small": "small",
-              "vit-base": "base"}[args.policy if args.policy != "none"
-                                  else "vit-small"]
+    vit_cfg = VIT_PRESETS[preset]
+    if args.fused_mlp != vit_cfg.fused_mlp:
+        vit_cfg = dataclasses.replace(vit_cfg, fused_mlp=args.fused_mlp)
     T, B = 16, max(args.envs // 16, 16)
-    net = ViTActorCriticRNN(action_dim=3, vit=VIT_PRESETS[preset],
+    net = ViTActorCriticRNN(action_dim=3, vit=vit_cfg,
                             fc_dim=64, hidden_size=64, continuous=True,
                             action_low=jnp.array([-1.0, 0.0, 0.0]),
                             action_high=jnp.array([3.0, 1.0, 1.0]))
@@ -417,7 +432,7 @@ def bench_vit_images(args):
     rate = T * B * iters / dt
     import json as _json
     print(_json.dumps({
-        "metric": f"vit_fwd_bwd_images_per_sec[{preset}]",
+        "metric": metric,
         "value": round(rate, 1),
         "unit": "images/s",
         "vs_baseline": round(rate / BASELINE_ENV_STEPS, 4),

@@ -58,12 +58,18 @@ int parse_line(const char** p, const char* end, double* vals, int max_fields) {
   const char* s = *p;
   int n = 0;
   while (s < end && *s != '\n') {
-    char* after = nullptr;
-    double v = std::strtod(s, &after);
-    if (after == s) {  // unparsable garbage: skip to next delimiter
-      while (s < end && *s != ',' && *s != '\n') ++s;
-      v = 0.0;
-      after = const_cast<char*>(s);
+    // skip intra-line whitespace OURSELVES: strtod would skip '\n' too and
+    // silently run across the line boundary on a whitespace-only field
+    while (s < end && (*s == ' ' || *s == '\t' || *s == '\r')) ++s;
+    if (s >= end || *s == '\n') break;
+    double v = 0.0;
+    char* after = const_cast<char*>(s);
+    if (*s != ',') {
+      v = std::strtod(s, &after);
+      if (after == s) {  // unparsable garbage: skip to next delimiter
+        while (s < end && *s != ',' && *s != '\n') ++s;
+        after = const_cast<char*>(s);
+      }
     }
     if (n < max_fields) vals[n] = v;
     ++n;
@@ -95,9 +101,10 @@ bool parse_day_impl(const char* msg_path, const char* book_path,
   const char* bp = bbuf.data();
   const char* bend = bp + bbuf.size();
 
-  // First book line fixes the column count (4 * levels).
+  // First non-blank book line fixes the column count (4 * levels).
   {
     const char* probe = bp;
+    while (probe < bend && *probe == '\n') ++probe;
     double tmp[512];
     int cols = parse_line(&probe, bend, tmp, 512);
     out->book_cols = cols;
@@ -108,9 +115,11 @@ bool parse_day_impl(const char* msg_path, const char* book_path,
   double mvals[8];
   std::vector<double> bvals(bcols);
   while (mp < mend && bp < bend) {
-    // skip blank message lines (and keep book rows aligned: LOBSTER pairs
-    // are line-for-line; a blank line in one is treated as blank in both)
-    if (*mp == '\n') { ++mp; if (*bp == '\n') ++bp; continue; }
+    // skip blank lines INDEPENDENTLY per file (np.loadtxt semantics: each
+    // file is a stream of non-blank rows; pairing is by non-blank index)
+    while (mp < mend && *mp == '\n') ++mp;
+    while (bp < bend && *bp == '\n') ++bp;
+    if (mp >= mend || bp >= bend) break;
     int nm = parse_line(&mp, mend, mvals, 8);
     int nb = parse_line(&bp, bend, bvals.data(), bcols);
     if (nm < 6 || nb < bcols) continue;  // short row: drop the pair

@@ -84,3 +84,24 @@ def test_native_unreadable_file_rejected(tmp_path):
     with pytest.raises(OSError):
         parse_day_native(str(tmp_path / "nope.csv"),
                          str(tmp_path / "nope2.csv"), DAY_START, DAY_END)
+
+
+def test_native_tolerates_whitespace_blank_crlf(tmp_path):
+    """Review-found edge cases: a whitespace-only trailing field must not
+    make the parser run across the line boundary; blank lines are skipped
+    independently per file (np.loadtxt semantics); CRLF line ends parse."""
+    if get_native_module() is None:
+        pytest.skip("native toolchain unavailable")
+    mfile, bfile = str(tmp_path / "m.csv"), str(tmp_path / "b.csv")
+    with open(mfile, "w") as f:
+        f.write("34201.5,1,10,5,100,1,  \n")   # trailing comma + spaces
+        f.write("\n")                           # blank message line
+        f.write("34202.5,1,11,6,101,-1\r\n")   # CRLF
+    with open(bfile, "w") as f:
+        f.write("\n")                           # leading blank book line
+        f.write("100,1,99,1\n100,1,99,1\n100,1,99,1\n")
+    msgs, book = parse_day_native(mfile, bfile, DAY_START, DAY_END)
+    assert msgs.shape == (2, 8)
+    assert list(msgs[0]) == [1, 1, 5, 100, 10, 10, 34201, 500000000]
+    assert list(msgs[1][:6]) == [1, -1, 6, 101, 11, 11]
+    assert book.shape == (2, 4)

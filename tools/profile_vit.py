@@ -20,7 +20,15 @@ from flax import linen as nn
 
 
 def timed(fn, x, reps=10, warmup=2):
-    """Median seconds per call; feeds the output back so inputs vary."""
+    """Median seconds per call with inputs that differ EVERY iteration.
+
+    The axon relay dedupes executions with bit-identical inputs (CLAUDE.md
+    gotcha #2), so each iteration multiplies the carried input by a fresh
+    (1 + 1e-4) factor — a compounding relative perturbation that changes
+    every element's bits every time (an additive epsilon would vanish below
+    half-ULP for elements > ~0.03 and collapse back to identical inputs).
+    Every timing ends with a real host fetch (block_until_ready can lie).
+    """
     fn = jax.jit(fn)
     out = fn(x)
     jax.block_until_ready(out)
@@ -32,9 +40,9 @@ def timed(fn, x, reps=10, warmup=2):
         out = fn(cur)
         float(jax.device_get(jax.tree.leaves(out)[0]).ravel()[0])
         ts.append(time.time() - t0)
-        # perturb: fold the (different-every-iter) output back into x
-        delta = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
-        cur = jax.tree.map(lambda v: v + (delta * 1e-9).astype(v.dtype), x)
+        cur = jax.tree.map(
+            lambda v: (v * (1.0 + 1e-4)).astype(v.dtype)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, cur)
     ts = sorted(ts[warmup:])
     return ts[len(ts) // 2]
 
@@ -107,10 +115,21 @@ def main():
                                       xtok, args.reps)
 
     # ---- 12x MLP sub-stack (LN + MLP + residual), fused and unfused ----
+    from vit_marl_tpu.ops.mlp_kernel import ROW_BLOCK
+    rows = B * N
+    if rows % ROW_BLOCK != 0:
+        print(f"WARNING: rows={rows} (envs*{N}) is not a multiple of "
+              f"ROW_BLOCK={ROW_BLOCK}; the 'fused' stack silently falls "
+              "back to the UNFUSED path — the A/B below is meaningless at "
+              "this batch size. Use --envs with 11*envs % 2048 == 0 "
+              "(e.g. 8192).", flush=True)
     for fused in (False, True):
         c2 = dataclasses.replace(cfg, fused_mlp=fused)
 
         class MLPStack(nn.Module):
+            # NOTE: mirrors Block's MLP branch (models/vit.py) without the
+            # attention half so the MLP cost is isolated — keep the fused
+            # call signature/dtype casts in sync with Block when editing.
             cfg: ViTConfig
 
             @nn.compact

@@ -161,10 +161,13 @@ class LobsterLoader:
             from vit_marl_tpu.data.native import parse_day_native
             parsed = parse_day_native(mfile, bfile, self.cfg.day_start,
                                       self.cfg.day_end)
-            if parsed is not None:
-                return parsed if parsed[0].size else None
-        except OSError:
-            return None
+            if parsed is not None and parsed[0].size:
+                return parsed
+            # native returned empty (or is unavailable): fall through to
+            # the numpy path, which may still load files the fast parser
+            # rejects (unusual formatting)
+        except Exception:
+            pass
         try:
             raw_msgs = np.loadtxt(mfile, delimiter=",", ndmin=2)
             raw_book = np.loadtxt(bfile, delimiter=",", ndmin=2)

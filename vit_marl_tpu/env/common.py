@@ -203,10 +203,13 @@ def summarize_trades(trades: Array, trader_id: Array, tick: int
 def summary_from_aggs(per_agent: Array, totals: Array) -> TradeSummary:
     """TradeSummary from the fused kernel's aggregate planes.
 
-    ``per_agent`` has the 11 AGG_STATS in the kernel's bump order — which is
-    exactly TradeSummary field order — on the last axis; ``totals`` carries
+    ``per_agent`` has the AGG_STATS (= 8: buy_q, sell_q, buy_pqt, sell_pqt,
+    a_q, a_pqt, dur, signed) in the kernel's bump order — which is exactly
+    TradeSummary field order — on the last axis; ``totals`` carries
     (total_quant, total_pq_tick).  Leading axes (env batch, agent instances)
-    pass through.
+    pass through.  This positional correspondence is the contract between
+    ops/book_kernel.py's bump sequence and TradeSummary — change both
+    together (tests/test_book_kernel.py checks it field by field).
     """
     parts = [per_agent[..., i] for i in range(per_agent.shape[-1])]
     return TradeSummary(*parts, totals[..., 0], totals[..., 1])
