@@ -101,3 +101,36 @@ def test_train_cli_mesh_too_big_errors(tmp_path, monkeypatch):
     from vit_marl_tpu.train import main
     with pytest.raises(SystemExit, match="MESH_SHAPE"):
         main()
+
+
+def test_2d_mesh_data_model_parallel_training():
+    """One IPPO update on a (2 data x 4 model) mesh with ViT weights
+    tensor-parallel (shard_params Megatron heuristic) must match the
+    single-device run numerically — GSPMD derives the TP collectives from
+    the placements alone (scaling-book recipe)."""
+    from vit_marl_tpu.parallel import shard_params  # noqa: F401 (export)
+    wcfg = WorldConfig(n_data_msg_per_step=5, ep_type="fixed_steps",
+                       episode_time=4, start_resolution=4,
+                       n_messages_per_synthetic_day=600)
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(),
+                ExecutionConfig(action_space="policy_blending",
+                                observation_space="execution_policy",
+                                reward_space="dual_ppo",
+                                use_vision_obs=True)),
+        n_agents_per_type=(1, 1))
+    tc = TrainConfig(num_envs=8, num_steps=4, num_minibatches=2,
+                     update_epochs=1, total_timesteps=8 * 4,
+                     network=("gru", "vit_gru"), vit_preset="micro",
+                     log_backend="none", rollout_mode="scan")
+    mesh = make_mesh((2, 4), ("data", "model"))
+    out = make_train(ma, tc, mesh=mesh)(KEY)
+    m = out["metrics"][0]
+    for k, v in m.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    out2 = make_train(ma, tc)(KEY)
+    for k in m:
+        np.testing.assert_allclose(np.asarray(m[k]),
+                                   np.asarray(out2["metrics"][0][k]),
+                                   rtol=5e-4, atol=1e-5)

@@ -3,5 +3,6 @@
 from vit_marl_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     shard_batch,
+    shard_params,
     replicate,
 )

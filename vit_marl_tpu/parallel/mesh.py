@@ -10,10 +10,13 @@ shard the *environment batch* across its ``data`` axis with
 shuffles) from the sharding constraints — no hand-written collectives.
 
 Parallelism scope (per SURVEY.md section 2.8): data parallelism over envs
-is the only distributed axis the workload needs — models are tiny (<= ViT
-Base), sequences are short (book levels), so TP/PP/SP/EP are explicit
-non-goals; the design leaves the mesh axes tuple open so a ``model`` axis
-can be added for larger encoders.
+is the primary distributed axis the workload needs — models are small
+(<= ViT Base) and sequences short (book levels), so PP/SP/EP are explicit
+non-goals.  A ``model`` mesh axis IS supported for tensor parallelism over
+encoder weights (:func:`shard_params`, Megatron-style column/row placement;
+numeric-equality tested on a 2x4 data-by-model CPU mesh) for when a larger
+encoder outgrows one chip's HBM or the single-chip FLOP roofline
+(BASELINE.md: ViT-Small caps at ~422k env-steps/s/chip).
 """
 
 from __future__ import annotations
@@ -61,3 +64,34 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh (params, opt state)."""
     s = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_params(tree, mesh: Mesh, axis: str = "model"):
+    """Tensor-parallel parameter placement over a ``model`` mesh axis.
+
+    Megatron-style heuristic applied shape-wise (flax param trees carry no
+    reliable layer names at this level): 2-D kernels shard their output
+    dim if divisible by the axis size (column-parallel; covers qkv/mlp1),
+    else their input dim (row-parallel; covers proj/mlp2); 1-D params
+    (biases, LN scales) and anything indivisible replicate.  GSPMD inserts
+    the matching all-reduces/all-gathers from these placements alone — no
+    hand-written collectives (scaling-book recipe: pick a mesh, annotate
+    shardings, let XLA place collectives).
+
+    Falls back to full replication when the mesh has no ``axis`` or it has
+    size 1, so callers can use this unconditionally.
+    """
+    if axis not in mesh.shape or mesh.shape[axis] == 1:
+        return replicate(tree, mesh)
+    n = mesh.shape[axis]
+
+    def place(x):
+        if getattr(x, "ndim", 0) == 2 and x.shape[1] % n == 0:
+            spec = P(None, axis)
+        elif getattr(x, "ndim", 0) == 2 and x.shape[0] % n == 0:
+            spec = P(axis, None)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)

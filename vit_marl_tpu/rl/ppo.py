@@ -391,8 +391,10 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         eval_jit = jax.jit(_eval_rollout) if cfg.eval_every else None
 
         if mesh is not None:
-            from vit_marl_tpu.parallel.mesh import replicate, shard_batch
-            train_states = replicate(train_states, mesh)
+            from vit_marl_tpu.parallel.mesh import shard_batch, shard_params
+            # replicates when the mesh has no (or a size-1) "model" axis;
+            # otherwise Megatron-style tensor-parallel weight placement
+            train_states = shard_params(train_states, mesh)
             env_state = shard_batch(env_state, mesh)
             obsv = shard_batch(obsv, mesh)
             init_dones = shard_batch(init_dones, mesh)
