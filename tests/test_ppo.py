@@ -125,3 +125,21 @@ def test_periodic_eval_rollout():
     for m in out["metrics"]:
         assert "EXE/eval_mean_reward" in m
         assert np.isfinite(np.asarray(m["EXE/eval_mean_reward"]))
+
+
+def test_checkpoint_restore_without_template_device_agnostic(tmp_path):
+    """restore() with no template must not pin arrays to save-time devices
+    (regression: a TPU-trained checkpoint refused to restore on CPU with
+    'Device TPU v5 lite0 was not found in jax.local_devices()'); arrays
+    come back as host numpy and match the saved values."""
+    import numpy as np
+
+    tc = tiny_train(2, checkpoint_dir=str(tmp_path / "ckpt"))
+    out = make_train(tiny_ma(), tc)(KEY)
+    from vit_marl_tpu.rl.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    restored = mgr.restore()  # no template: the evaluate.py CLI path
+    params = [ts.params for ts in out["runner_state"][0]]
+    assert all(isinstance(l, np.ndarray)
+               for l in jax.tree.leaves(restored["params"]))
+    assert leaves_allclose(restored["params"], params)

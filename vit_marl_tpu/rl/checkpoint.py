@@ -17,6 +17,7 @@ class CheckpointManager:
                  keep_period: Optional[int] = None):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self.directory = directory
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep, keep_period=keep_period, create=True)
         self._mgr = ocp.CheckpointManager(directory, options=options)
@@ -33,7 +34,22 @@ class CheckpointManager:
         if template is not None:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
-        return self._mgr.restore(step)
+        # No template: restore every array as HOST numpy via the pytree
+        # handler, ignoring the sharding recorded at save time.  The default
+        # restore pins arrays to the devices present when the checkpoint was
+        # written, so a TPU-trained checkpoint refuses to restore on CPU (or
+        # any different topology) with "Device TPU v5 lite0 was not found in
+        # jax.local_devices()".  Numpy leaves transfer on first use.
+        import jax
+        import numpy as np
+
+        path = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
