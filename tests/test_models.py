@@ -125,3 +125,19 @@ def test_cnn_vision_agent():
     params = net.init(KEY, img)
     out = net.apply(params, img)
     assert out.shape == (7, 32)
+
+
+def test_attention_nhd_matches_einsum_reference():
+    """The transpose-free short-seq attention equals the canonical
+    (B, H, N, D) einsum attention (MXU path) in fp32."""
+    import numpy as np
+    from vit_marl_tpu.models.vit import attention_nhd, dot_product_attention
+
+    key = jax.random.PRNGKey(3)
+    B, N, H, D = 5, 11, 6, 16
+    qkv = jax.random.normal(key, (B, N, 3, H, D), jnp.float32)
+    got = attention_nhd(qkv, jnp.float32)            # (B, N, H, D)
+    q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
+    want = dot_product_attention(q, k, v, jnp.float32)  # (B, H, N, D)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(got, 2, 1)),
+                               np.asarray(want), rtol=2e-5, atol=2e-5)
