@@ -112,6 +112,10 @@ def main():
                    help="use the fused Pallas MLP in ViT blocks "
                         "(ops/mlp_kernel.py, ROW_BLOCK=2048) for the A/B "
                         "against XLA's unfused MLP")
+    p.add_argument("--fused-block", action="store_true",
+                   help="use the fused block-half kernels "
+                        "(ops/block_kernel.py: LN1+QKV and "
+                        "proj+residual+LN2+MLP+residual)")
     p.add_argument("--deadline", type=float, default=1500.0,
                    help="hard wall-clock budget (s); on expiry an error "
                         "JSON line is printed and the process exits, so a "
@@ -121,10 +125,13 @@ def main():
     if args.smoke:
         args.envs, args.steps, args.reps, args.data_msgs = 8, 4, 1, 10
 
-    # the ",fused" tag only means something when a ViT forward is measured
-    fused_tag = ",fused" if (args.fused_mlp
-                             and (args.vit_images
-                                  or args.policy.startswith("vit"))) else ""
+    # the fused tags only mean something when a ViT forward is measured
+    vit_measured = args.vit_images or args.policy.startswith("vit")
+    fused_tag = ""
+    if vit_measured and args.fused_block:
+        fused_tag = ",fusedblock"
+    elif vit_measured and args.fused_mlp:
+        fused_tag = ",fused"
     preset = {"none": "small", "gru": "small", "vit-tiny": "tiny",
               "vit-small": "small", "vit-base": "base"}[args.policy]
     if args.vit_images:
@@ -208,7 +215,8 @@ def main():
             num_envs=args.envs,
             network=("gru", "vit_gru") if use_vision else ("gru", "gru"),
             vit_preset=preset or "tiny",
-            vit_fused_mlp=args.fused_mlp)
+            vit_fused_mlp=args.fused_mlp,
+            vit_fused_block=args.fused_block)
         nets, net_params, hs = [], [], []
         for i in range(n_types):
             net = make_network(tc, i, env.action_spaces[i],
@@ -384,8 +392,10 @@ def bench_vit_images(args, preset, metric):
     from vit_marl_tpu.models.rnn import ScannedGRU
 
     vit_cfg = VIT_PRESETS[preset]
-    if args.fused_mlp != vit_cfg.fused_mlp:
-        vit_cfg = dataclasses.replace(vit_cfg, fused_mlp=args.fused_mlp)
+    if (args.fused_mlp != vit_cfg.fused_mlp
+            or args.fused_block != vit_cfg.fused_block):
+        vit_cfg = dataclasses.replace(vit_cfg, fused_mlp=args.fused_mlp,
+                                      fused_block=args.fused_block)
     T, B = 16, max(args.envs // 16, 16)
     net = ViTActorCriticRNN(action_dim=3, vit=vit_cfg,
                             fc_dim=64, hidden_size=64, continuous=True,

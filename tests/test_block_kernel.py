@@ -1,0 +1,146 @@
+"""Fused block-half kernels vs their XLA reference math (interpret mode).
+
+The kernels (ops/block_kernel.py) must match their reference functions to
+f32 round-off at ROW_BLOCK-tiled shapes, fall back transparently at
+untiled shapes, and carry VJPs equal to jax.vjp of the references.  The
+flax Block with cfg.fused_block must match the unfused Block in float32.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_marl_tpu.ops.block_kernel import (
+    ROW_BLOCK,
+    _ln_qkv_reference,
+    _proj_mlp_reference,
+    fused_ln_qkv,
+    fused_proj_mlp,
+)
+
+KEY = jax.random.PRNGKey(0)
+W = 128
+
+
+def _ln_qkv_args(rows, dtype=jnp.float32):
+    ks = jax.random.split(KEY, 5)
+    return (jax.random.normal(ks[0], (rows, W), dtype),
+            jax.random.normal(ks[1], (W,), jnp.float32) * 0.1 + 1.0,
+            jax.random.normal(ks[2], (W,), jnp.float32) * 0.1,
+            (jax.random.normal(ks[3], (W, 3 * W), jnp.float32) * 0.05
+             ).astype(dtype),
+            jax.random.normal(ks[4], (3 * W,), jnp.float32) * 0.1)
+
+
+def _proj_mlp_args(rows, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(7), 10)
+    s = 0.05
+    return (jax.random.normal(ks[0], (rows, W), dtype),
+            jax.random.normal(ks[1], (rows, W), dtype),
+            (jax.random.normal(ks[2], (W, W)) * s).astype(dtype),
+            jax.random.normal(ks[3], (W,)) * 0.1,
+            jax.random.normal(ks[4], (W,)) * 0.1 + 1.0,
+            jax.random.normal(ks[5], (W,)) * 0.1,
+            (jax.random.normal(ks[6], (W, 4 * W)) * s).astype(dtype),
+            jax.random.normal(ks[7], (4 * W,)) * 0.1,
+            (jax.random.normal(ks[8], (4 * W, W)) * s).astype(dtype),
+            jax.random.normal(ks[9], (W,)) * 0.1)
+
+
+def test_ln_qkv_matches_reference_tiled():
+    args = _ln_qkv_args(2 * ROW_BLOCK)
+    got = fused_ln_qkv(*args, True)          # interpret-mode pallas
+    want = _ln_qkv_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ln_qkv_fallback_untiled():
+    args = _ln_qkv_args(ROW_BLOCK + 8)       # not a ROW_BLOCK multiple
+    got = fused_ln_qkv(*args, True)
+    want = _ln_qkv_reference(*args)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_proj_mlp_matches_reference_tiled():
+    args = _proj_mlp_args(ROW_BLOCK)
+    got = fused_proj_mlp(*args, True)
+    want = _proj_mlp_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_proj_mlp_bf16_close_to_f32():
+    args32 = _proj_mlp_args(ROW_BLOCK, jnp.float32)
+    args16 = tuple(a.astype(jnp.bfloat16) if a.dtype == jnp.float32
+                   and a.ndim == 2 else a for a in args32)
+    got16 = fused_proj_mlp(*args16, True).astype(jnp.float32)
+    want = _proj_mlp_reference(*args32)
+    err = np.abs(np.asarray(got16) - np.asarray(want)).max()
+    assert err / np.abs(np.asarray(want)).max() < 0.05
+
+
+@pytest.mark.parametrize("fn,ref,mk", [
+    (fused_ln_qkv, _ln_qkv_reference, _ln_qkv_args),
+    (fused_proj_mlp, _proj_mlp_reference, _proj_mlp_args),
+])
+def test_vjp_matches_reference(fn, ref, mk):
+    args = mk(ROW_BLOCK)
+    out, vjp = jax.vjp(lambda *a: fn(*a, True), *args)
+    out_r, vjp_r = jax.vjp(ref, *args)
+    g = jax.random.normal(jax.random.PRNGKey(1), out.shape, out.dtype)
+    for got, want in zip(vjp(g), vjp_r(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_flax_block_fused_matches_unfused_f32():
+    """cfg.fused_block == unfused Block in float32 (same math, different
+    param layout — params are transplanted name-by-name)."""
+    from vit_marl_tpu.models.vit import Block, ViTConfig
+
+    cfg = ViTConfig(width=64, depth=1, heads=2, compute_dtype="float32",
+                    remat=False)
+    x = jax.random.normal(KEY, (4, 11, 64), jnp.float32)
+    unfused = Block(cfg)
+    pu = unfused.init(KEY, x)
+    fused = Block(dataclasses.replace(cfg, fused_block=True))
+    pf = fused.init(jax.random.PRNGKey(1), x)
+
+    m = pu["params"]
+    pf = {"params": {
+        "ln1_scale": m["ln1"]["scale"], "ln1_bias": m["ln1"]["bias"],
+        "qkv_kernel": m["attn"]["qkv"]["kernel"],
+        "qkv_bias": m["attn"]["qkv"]["bias"],
+        "proj_kernel": m["attn"]["proj"]["kernel"],
+        "proj_bias": m["attn"]["proj"]["bias"],
+        "ln2_scale": m["ln2"]["scale"], "ln2_bias": m["ln2"]["bias"],
+        "mlp1_kernel": m["mlp1"]["kernel"], "mlp1_bias": m["mlp1"]["bias"],
+        "mlp2_kernel": m["mlp2"]["kernel"], "mlp2_bias": m["mlp2"]["bias"],
+    }}
+    got = fused.apply(pf, x)
+    want = unfused.apply(pu, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_trains_with_fused_block():
+    """Gradient flows through the fused encoder (VJP path end to end)."""
+    from vit_marl_tpu.models.vit import ViTConfig, ViTEncoder
+
+    cfg = ViTConfig(width=64, depth=2, heads=2, compute_dtype="float32",
+                    remat=False, fused_block=True)
+    enc = ViTEncoder(cfg)
+    img = jax.random.normal(KEY, (4, 10, 3, 2))
+    params = enc.init(KEY, img)
+
+    def loss(p):
+        return jnp.square(enc.apply(p, img)).mean()
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.abs(v).max()) for v in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms))
+    assert max(norms) > 0

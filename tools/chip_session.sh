@@ -19,6 +19,9 @@ timeout 1200 python bench.py --envs 8192 2>&1 | tee runs/r3/bench_vit.txt
 log "3b/8 bench ViT-Small with fused Pallas MLP (A/B vs step 3)"
 timeout 1200 python bench.py --envs 8192 --fused-mlp 2>&1 | tee runs/r3/bench_vit_fused.txt
 
+log "3c/8 bench ViT-Small with fused block halves (LN+QKV / proj+LN+MLP)"
+timeout 1200 python bench.py --envs 8192 --fused-block 2>&1 | tee runs/r3/bench_vit_fusedblock.txt
+
 log "4/8 ViT fwd stage decomposition + fused-MLP A/B (ROW_BLOCK=2048)"
 timeout 1800 python tools/profile_vit.py --envs 8192 2>&1 | tee runs/r3/profile_vit.txt
 

@@ -365,6 +365,9 @@ class TrainConfig:
     # use the fused Pallas MLP kernel in ViT blocks (ops/mlp_kernel.py);
     # falls back to the unfused path off-TPU or for untiled row counts
     vit_fused_mlp: bool = False
+    # use the fused block-half kernels (ops/block_kernel.py: LN1+QKV and
+    # proj+residual+LN2+MLP+residual); takes precedence over vit_fused_mlp
+    vit_fused_block: bool = False
     seed: int = 30
     # distributed
     mesh_shape: Tuple[int, ...] = ()   # () -> single device

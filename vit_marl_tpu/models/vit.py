@@ -59,6 +59,13 @@ class ViTConfig:
     # XLA's unfused MLP (grid steps re-copy the invariant weight blocks);
     # the 2048-row variant is unmeasured pending TPU availability
     fused_mlp: bool = False
+    # fused block halves (ops/block_kernel.py): LN1+QKV in one kernel,
+    # proj+residual+LN2+MLP+residual in another — attention stays in XLA.
+    # Roughly halves per-block HBM traffic.  Default OFF pending hardware
+    # measurement; NOTE the param tree differs from the unfused Block
+    # (raw kernels instead of Dense submodules), so checkpoints don't
+    # interchange between modes.  Takes precedence over fused_mlp.
+    fused_block: bool = False
 
 
 VIT_PRESETS = {
@@ -133,6 +140,8 @@ class Block(nn.Module):
     def __call__(self, x: Array) -> Array:
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
+        if c.fused_block:
+            return self._fused_block(x, dtype)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
         x = x + MHA(c, name="attn")(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
@@ -155,6 +164,44 @@ class Block(nn.Module):
             h = nn.gelu(h)
             h = nn.Dense(c.width, dtype=dtype, name="mlp2")(h)
         return x + h
+
+    def _fused_block(self, x: Array, dtype) -> Array:
+        """Pallas block halves (ops/block_kernel.py): LN1+QKV fused, XLA
+        attention, then proj+residual+LN2+MLP+residual fused.  Same math
+        as the unfused path (LN f32 stats, f32-accumulated matmuls)."""
+        from vit_marl_tpu.ops.block_kernel import fused_ln_qkv, fused_proj_mlp
+
+        c = self.cfg
+        B, N, W = x.shape
+        H = c.heads
+        init = nn.initializers.lecun_normal()
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        g1 = self.param("ln1_scale", ones, (W,))
+        b1 = self.param("ln1_bias", zeros, (W,))
+        wqkv = self.param("qkv_kernel", init, (W, 3 * W))
+        bqkv = self.param("qkv_bias", zeros, (3 * W,))
+        wp = self.param("proj_kernel", init, (W, W))
+        bp = self.param("proj_bias", zeros, (W,))
+        g2 = self.param("ln2_scale", ones, (W,))
+        b2 = self.param("ln2_bias", zeros, (W,))
+        w1 = self.param("mlp1_kernel", init, (W, W * c.mlp_ratio))
+        bm1 = self.param("mlp1_bias", zeros, (W * c.mlp_ratio,))
+        w2 = self.param("mlp2_kernel", init, (W * c.mlp_ratio, W))
+        bm2 = self.param("mlp2_bias", zeros, (W,))
+
+        xf = x.reshape(B * N, W).astype(dtype)
+        qkv = fused_ln_qkv(xf, g1, b1, wqkv.astype(dtype), bqkv, False)
+        qkv = qkv.reshape(B, N, 3, H, W // H)
+        if N <= 32:
+            attn = attention_nhd(qkv, dtype)
+        else:
+            q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
+            attn = jnp.moveaxis(dot_product_attention(q, k, v, dtype), 1, 2)
+        attn = attn.reshape(B * N, W).astype(dtype)
+        out = fused_proj_mlp(attn, xf, wp.astype(dtype), bp, g2, b2,
+                             w1.astype(dtype), bm1, w2.astype(dtype), bm2,
+                             False)
+        return out.reshape(B, N, W)
 
 
 class ViTEncoder(nn.Module):
