@@ -90,12 +90,16 @@ def main():
 
     results["full_policy_fwd"] = timed(full_fwd, obs, args.reps)
 
-    # ---- encoder alone ----
+    # ---- encoder alone (plain and fused-block halves) ----
     enc = ViTEncoder(cfg)
     img = jax.random.normal(key, (B, 10, 3, 2), jnp.float32)
     eparams = enc.init(key, img)
     results["vit_encoder"] = timed(lambda im: enc.apply(eparams, im), img,
                                    args.reps)
+    encf = ViTEncoder(dataclasses.replace(cfg, fused_block=True))
+    efparams = encf.init(key, img)
+    results["vit_encoder_fusedblock"] = timed(
+        lambda im: encf.apply(efparams, im), img, args.reps)
 
     # ---- 12x attention sub-stack (LN + MHA + residual) ----
     class AttnStack(nn.Module):
