@@ -98,8 +98,12 @@ def test_checkpointing(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
     assert mgr.latest_step() == 1
     params = [ts.params for ts in out["runner_state"][0]]
-    restored = mgr.restore(template={"params": params,
-                                     "metrics": out["metrics"][-1]})
+    template = {"params": params,
+                "metrics": out["metrics"][-1],
+                "opt_leaves": [jax.tree.leaves(ts.opt_state)
+                               for ts in out["runner_state"][0]],
+                "step": [ts.step for ts in out["runner_state"][0]]}
+    restored = mgr.restore(template=template)
     assert leaves_allclose(restored["params"], params)
 
 
@@ -143,3 +147,32 @@ def test_checkpoint_restore_without_template_device_agnostic(tmp_path):
     assert all(isinstance(l, np.ndarray)
                for l in jax.tree.leaves(restored["params"]))
     assert leaves_allclose(restored["params"], params)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """RESUME=true continues a killed run: the update loop restarts at the
+    saved update index and the optimizer state (Adam moments + step count,
+    hence the LR schedule position) carries over instead of resetting.
+    The reference has no mid-training resume (SURVEY.md section 5)."""
+    ma = tiny_ma()
+    ck = str(tmp_path / "ckpt")
+    make_train(ma, tiny_train(2, checkpoint_dir=ck))(KEY)
+
+    tc = tiny_train(4, checkpoint_dir=ck, resume=True)
+    out = make_train(ma, tc)(KEY)
+    assert len(out["metrics"]) == 2  # only the remaining 2 of 4 updates ran
+    for ts in out["runner_state"][0]:
+        # optimizer stepped updates*epochs*minibatches TOTAL across both
+        # runs — a reset optimizer would show 2*2*2
+        assert int(ts.step) == 4 * 2 * 2
+    from vit_marl_tpu.rl.checkpoint import CheckpointManager
+    mgr = CheckpointManager(ck)
+    assert mgr.latest_step() == 3
+    # the resumed checkpoints still carry opt state for the NEXT resume
+    assert "opt_leaves" in mgr.restore()
+
+
+def test_resume_without_checkpoint_starts_fresh(tmp_path):
+    tc = tiny_train(1, checkpoint_dir=str(tmp_path / "empty"), resume=True)
+    out = make_train(tiny_ma(), tc)(KEY)
+    assert len(out["metrics"]) == 1

@@ -22,6 +22,9 @@ timeout 1200 python bench.py --envs 8192 --fused-mlp 2>&1 | tee runs/r3/bench_vi
 log "3c/8 bench ViT-Small with fused block halves (LN+QKV / proj+LN+MLP)"
 timeout 1200 python bench.py --envs 8192 --fused-block 2>&1 | tee runs/r3/bench_vit_fusedblock.txt
 
+log "3d/8 bench ViT-Small 16384 envs (MFU vs batch; 8192 is 33% MFU)"
+timeout 1500 python bench.py --envs 16384 2>&1 | tee runs/r3/bench_vit_16k.txt
+
 log "4/8 ViT fwd stage decomposition + fused-MLP A/B (ROW_BLOCK=2048)"
 timeout 1800 python tools/profile_vit.py --envs 8192 2>&1 | tee runs/r3/profile_vit.txt
 

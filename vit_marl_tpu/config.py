@@ -379,6 +379,14 @@ class TrainConfig:
     # ViT-sized policy moves ~90 MB of params per update; the final update
     # always saves)
     checkpoint_every: int = 1
+    # resume from the latest checkpoint in checkpoint_dir (params +
+    # optimizer state + step; the update loop continues at the saved
+    # update index).  The reference has no mid-training resume — a killed
+    # run restarts at update 0 (SURVEY.md section 5) — but TPU sessions
+    # here die to relay outages, so resume is first-class.  Env states and
+    # RNG streams restart fresh (on-policy PPO only needs them for the
+    # next rollout).
+    resume: bool = False
     # logging
     log_backend: str = "print"       # "print" | "jsonl" | "wandb" | "none"
     log_path: str = "metrics.jsonl"

@@ -451,7 +451,7 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M, 5, ENV_BLOCK), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((2, 6, S, E), jnp.int32),

@@ -22,10 +22,26 @@ class CheckpointManager:
             max_to_keep=max_to_keep, keep_period=keep_period, create=True)
         self._mgr = ocp.CheckpointManager(directory, options=options)
 
-    def save(self, step: int, params_list, metrics: Optional[Dict] = None):
+    def save(self, step: int, params_list, metrics: Optional[Dict] = None,
+             opt_states=None, train_steps=None):
+        """Save per-type params (+ optionally optimizer state and step
+        counters, enabling mid-training resume — a capability the
+        reference lacks: its killed runs restart at update 0).
+
+        ``opt_states`` are stored as flat leaf lists (``jax.tree.leaves``)
+        because optax chain states contain empty namedtuple nodes
+        (``EmptyState``) that pytree checkpointing rejects; the caller
+        re-unflattens against its live treedef on restore.
+        """
+        import jax
+
         payload = {"params": params_list}
         if metrics is not None:
             payload["metrics"] = {k: float(v) for k, v in metrics.items()}
+        if opt_states is not None:
+            payload["opt_leaves"] = [jax.tree.leaves(s) for s in opt_states]
+        if train_steps is not None:
+            payload["step"] = list(train_steps)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
     def restore(self, step: Optional[int] = None,

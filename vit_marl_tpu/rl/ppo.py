@@ -119,6 +119,49 @@ def _make_eval_env(ma_config: MultiAgentConfig, cfg: TrainConfig,
     return train_env
 
 
+def _resume(ckpt, runner_state):
+    """Restore params + optimizer state + step counters from the latest
+    checkpoint into the live (possibly mesh-sharded) train states.
+
+    The checkpoint stores host numpy (CheckpointManager.restore's
+    no-template path, so a TPU-saved checkpoint restores on any topology);
+    every leaf is re-placed with the matching live leaf's sharding.  Older
+    checkpoints that predate opt-state saving resume params-only with a
+    fresh optimizer (warned).  Returns (runner_state, start_update).
+    """
+    import sys
+
+    latest = ckpt.latest_step()
+    restored = ckpt.restore(latest)
+
+    def place(live, saved):
+        saved = jnp.asarray(saved, dtype=live.dtype)
+        if hasattr(live, "sharding"):
+            saved = jax.device_put(saved, live.sharding)
+        return saved
+
+    new_ts = []
+    for i, ts in enumerate(runner_state[0]):
+        params = jax.tree.map(place, ts.params, restored["params"][i])
+        kwargs = {"params": params}
+        if "opt_leaves" in restored:
+            live_leaves, treedef = jax.tree.flatten(ts.opt_state)
+            saved_leaves = jax.tree.leaves(restored["opt_leaves"][i])
+            kwargs["opt_state"] = jax.tree.unflatten(
+                treedef, [place(lv, sv) for lv, sv
+                          in zip(live_leaves, saved_leaves)])
+            kwargs["step"] = place(jnp.asarray(ts.step),
+                                   restored["step"][i])
+        else:
+            print("WARNING: checkpoint predates optimizer-state saving; "
+                  "resuming params-only with a fresh optimizer",
+                  file=sys.stderr)
+        new_ts.append(ts.replace(**kwargs))
+    print(f"resumed from checkpoint update {latest} "
+          f"(next update: {latest + 1})")
+    return (tuple(new_ts),) + tuple(runner_state[1:]), latest + 1
+
+
 def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                env: Optional[WorldEnv] = None,
                logger: Optional[Logger] = None,
@@ -406,10 +449,13 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                         hstates, rng)
         metrics_history = []
         ckpt = None
+        start_update = 0
         if cfg.checkpoint_dir:
             from vit_marl_tpu.rl.checkpoint import CheckpointManager
             ckpt = CheckpointManager(cfg.checkpoint_dir,
                                      max_to_keep=cfg.checkpoint_max_to_keep)
+        if ckpt is not None and cfg.resume and ckpt.latest_step() is not None:
+            runner_state, start_update = _resume(ckpt, runner_state)
         use_loop = cfg.rollout_mode == "loop" or (
             cfg.rollout_mode == "auto" and jax.default_backend() == "tpu")
         # VIT_MARL_PHASE_TIMING=1: print per-update rollout/update wall times
@@ -417,7 +463,7 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         import os
         import time as _time
         phase_timing = os.environ.get("VIT_MARL_PHASE_TIMING") == "1"
-        for u in range(num_updates):
+        for u in range(start_update, num_updates):
             if use_loop:
                 # Python-dispatched rollout: each step is one jitted call
                 # (async-pipelined); avoids the fused-scan rollout, which
@@ -454,7 +500,10 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
             if ckpt is not None and ((u + 1) % cfg.checkpoint_every == 0
                                      or u == num_updates - 1):
                 ckpt.save(u, [ts.params for ts in runner_state[0]],
-                          metrics=metrics_history[-1])
+                          metrics=metrics_history[-1],
+                          opt_states=[ts.opt_state
+                                      for ts in runner_state[0]],
+                          train_steps=[ts.step for ts in runner_state[0]])
         if ckpt is not None:
             ckpt.close()
         return {"runner_state": runner_state, "metrics": metrics_history,
