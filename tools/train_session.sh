@@ -2,17 +2,32 @@
 # Round-3 training queue (VERDICT r2 items 4 and 6).  Run AFTER
 # tools/chip_session.sh (the minibatch sweep there decides NUM_MINIBATCHES;
 # pass it as $1, default 4 = round-2 setting).
+#
+# Outage-resilient: every training run checkpoints frequently and is
+# retried once with RESUME=true, so a relay wedge mid-run costs only the
+# un-checkpointed tail instead of the whole run.
 set -u
 MB=${1:-4}
 mkdir -p runs/r3_vision_simplest runs/r3_2player
 log() { echo "=== $(date +%H:%M:%S) $*"; }
 
+# run_training <timeout_s> <out_dir> <config> [extra --set args...]
+run_training() {
+  local tmo=$1 dir=$2 cfg=$3; shift 3
+  local common=(--config "$cfg" --timing
+    --set LOG_BACKEND=jsonl --set "LOG_PATH=$dir/metrics.jsonl"
+    --set "CHECKPOINT_DIR=$dir/ckpt" --set CHECKPOINT_EVERY=10 "$@")
+  timeout "$tmo" python -m vit_marl_tpu.train "${common[@]}" 2>&1 | tail -8
+  local rc=${PIPESTATUS[0]}
+  if [ "$rc" -ne 0 ] && [ -d "$dir/ckpt" ]; then
+    log "rc=$rc — retrying once with RESUME=true"
+    timeout "$tmo" python -m vit_marl_tpu.train "${common[@]}" \
+      --set RESUME=true 2>&1 | tail -8
+  fi
+}
+
 log "A: learning THROUGH the ViT encoder (solvable simplest-case task)"
-timeout 3600 python -m vit_marl_tpu.train \
-  --config configs/ippo_vision_simplest.yaml --timing \
-  --set LOG_BACKEND=jsonl --set LOG_PATH=runs/r3_vision_simplest/metrics.jsonl \
-  --set CHECKPOINT_DIR=runs/r3_vision_simplest/ckpt --set CHECKPOINT_EVERY=20 \
-  2>&1 | tail -8
+run_training 3600 runs/r3_vision_simplest configs/ippo_vision_simplest.yaml
 
 python - <<'EOF'
 from vit_marl_tpu.eval.plotting import learning_curves
@@ -22,12 +37,8 @@ print("vision-simplest curves saved")
 EOF
 
 log "B: 2-player rerun at reference scale on round-3 defaults"
-timeout 5400 python -m vit_marl_tpu.train --config configs/ippo_2player.yaml \
-  --timing --set NUM_MINIBATCHES=$MB --set TOTAL_TIMESTEPS=1.2e8 \
-  --set EVAL_EVERY=10 \
-  --set LOG_BACKEND=jsonl --set LOG_PATH=runs/r3_2player/metrics.jsonl \
-  --set CHECKPOINT_DIR=runs/r3_2player/ckpt --set CHECKPOINT_EVERY=20 \
-  2>&1 | tail -8
+run_training 5400 runs/r3_2player configs/ippo_2player.yaml \
+  --set NUM_MINIBATCHES=$MB --set TOTAL_TIMESTEPS=1.2e8 --set EVAL_EVERY=10
 
 python - <<'EOF'
 from vit_marl_tpu.eval.plotting import learning_curves
