@@ -134,3 +134,36 @@ def test_2d_mesh_data_model_parallel_training():
         np.testing.assert_allclose(np.asarray(m[k]),
                                    np.asarray(out2["metrics"][0][k]),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_resume_under_mesh(tmp_path):
+    """Checkpoint resume with a sharded mesh: save from a sharded run,
+    resume into a sharded run — restored leaves must be re-placed with the
+    live shardings and the optimizer must continue, not reset."""
+    wcfg = WorldConfig(n_data_msg_per_step=5, ep_type="fixed_steps",
+                       episode_time=4, start_resolution=4,
+                       n_messages_per_synthetic_day=600)
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(),
+                ExecutionConfig(action_space="simplest_case",
+                                observation_space="simplest_case",
+                                reward_space="simplest_case")),
+        n_agents_per_type=(1, 1))
+    ck = str(tmp_path / "ckpt")
+
+    def tc(n_updates, **kw):
+        return TrainConfig(num_envs=16, num_steps=4, num_minibatches=2,
+                           update_epochs=1, total_timesteps=16 * 4 * n_updates,
+                           log_backend="none", rollout_mode="scan",
+                           checkpoint_dir=ck, **kw)
+
+    mesh = make_mesh((8,), ("data",))
+    make_train(ma, tc(1), mesh=mesh)(KEY)
+    out = make_train(ma, tc(2, resume=True), mesh=mesh)(KEY)
+    assert len(out["metrics"]) == 1  # only the remaining update ran
+    for ts in out["runner_state"][0]:
+        assert int(ts.step) == 2 * 1 * 2  # epochs*minibatches per update x 2
+        # params stayed replicated over the mesh after resume
+        leaf = jax.tree.leaves(ts.params)[0]
+        assert len(leaf.sharding.device_set) == 8
