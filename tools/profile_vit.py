@@ -12,7 +12,13 @@ Usage:  python tools/profile_vit.py [--envs 8192] [--preset small]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+# runnable as `python tools/profile_vit.py` from the repo root: put the
+# repo root (not tools/) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +58,12 @@ def main():
     p.add_argument("--envs", type=int, default=8192)
     p.add_argument("--preset", default="small")
     p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke runs; env vars alone "
+                        "cannot override the axon plugin)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from vit_marl_tpu.models import VIT_PRESETS, ViTActorCriticRNN
     from vit_marl_tpu.models.rnn import ScannedGRU
