@@ -167,3 +167,41 @@ def test_resume_under_mesh(tmp_path):
         # params stayed replicated over the mesh after resume
         leaf = jax.tree.leaves(ts.params)[0]
         assert len(leaf.sharding.device_set) == 8
+
+
+def test_hybrid_mesh_single_host_degenerate():
+    """make_hybrid_mesh with one process: size-1 leading DCN axis; the env
+    batch shards over (dcn_data, data) jointly; training runs unchanged."""
+    from vit_marl_tpu.parallel import make_hybrid_mesh, shard_batch
+
+    mesh = make_hybrid_mesh((4,), ("data",))
+    assert mesh.shape == {"dcn_data": 1, "data": 4}
+    x = jnp.arange(8 * 3).reshape(8, 3)
+    xs = shard_batch({"x": x}, mesh)["x"]
+    # leading axis split over the product of both data axes
+    assert xs.sharding.spec[0] == ("dcn_data", "data")
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+    wcfg = WorldConfig(n_data_msg_per_step=5, ep_type="fixed_steps",
+                       episode_time=4, start_resolution=4,
+                       n_messages_per_synthetic_day=600)
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(),
+                ExecutionConfig(action_space="simplest_case",
+                                observation_space="simplest_case",
+                                reward_space="simplest_case")),
+        n_agents_per_type=(1, 1))
+    tc = TrainConfig(num_envs=8, num_steps=4, num_minibatches=2,
+                     update_epochs=1, total_timesteps=8 * 4,
+                     log_backend="none", rollout_mode="scan")
+    out = make_train(ma, tc, mesh=mesh)(KEY)
+    for k, v in out["metrics"][0].items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_initialize_distributed_single_process_noop():
+    from vit_marl_tpu.parallel import initialize_distributed
+
+    initialize_distributed()  # must not raise in a single-process run
+    assert jax.process_count() == 1

@@ -6,3 +6,7 @@ from vit_marl_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
     replicate,
 )
+from vit_marl_tpu.parallel.distributed import (  # noqa: F401
+    initialize_distributed,
+    make_hybrid_mesh,
+)

@@ -38,14 +38,27 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(np.asarray(devices[:n]).reshape(shape), axis_names=tuple(axes))
 
 
-def shard_batch(tree, mesh: Mesh, axis: str = "data"):
+def shard_batch(tree, mesh: Mesh, axis=None):
     """Place every leaf with its leading (batch) axis split over ``axis``.
+
+    ``axis`` may be one mesh axis name or a tuple of them (the leading
+    array axis is split over their product — the hybrid DCN+ICI layout of
+    :func:`vit_marl_tpu.parallel.distributed.make_hybrid_mesh`).  Default:
+    every mesh axis whose name is ``data`` or ends with ``_data``.
 
     Scalars (0-d leaves) are replicated; any array leaf whose leading axis
     is not divisible by the mesh axis is an error — silent replication there
     would mask a sharding regression.
     """
-    n = mesh.shape[axis]
+    if axis is None:
+        axis = tuple(a for a in mesh.axis_names
+                     if a == "data" or str(a).endswith("_data")) or "data"
+    if isinstance(axis, (tuple, list)):
+        axis = tuple(axis)
+        if len(axis) == 1:
+            axis = axis[0]
+    n = (int(np.prod([mesh.shape[a] for a in axis]))
+         if isinstance(axis, tuple) else mesh.shape[axis])
 
     def put(x):
         if getattr(x, "ndim", 0) == 0:
