@@ -125,13 +125,33 @@ def main():
     if args.smoke:
         args.envs, args.steps, args.reps, args.data_msgs = 8, 4, 1, 10
 
-    # the fused tags only mean something when a ViT forward is measured
+    # the fused tags only mean something when a ViT forward is measured AND
+    # the kernel can actually engage: the fused paths silently fall back to
+    # unfused XLA when rows (11*envs) aren't a ROW_BLOCK multiple, which
+    # would record an unfused-vs-unfused "A/B" under a fused label
     vit_measured = args.vit_images or args.policy.startswith("vit")
+    rows = args.envs * 11
     fused_tag = ""
     if vit_measured and args.fused_block:
-        fused_tag = ",fusedblock"
+        from vit_marl_tpu.ops.block_kernel import ROW_BLOCK as BLK_RB
+        if rows % BLK_RB:
+            print(f"WARNING: rows={rows} (11*envs) is not a multiple of "
+                  f"block-kernel ROW_BLOCK={BLK_RB}; the fused-block path "
+                  "cannot engage — measuring (and labeling) UNFUSED.",
+                  file=sys.stderr)
+            args.fused_block = False
+        else:
+            fused_tag = ",fusedblock"
     elif vit_measured and args.fused_mlp:
-        fused_tag = ",fused"
+        from vit_marl_tpu.ops.mlp_kernel import ROW_BLOCK as MLP_RB
+        if rows % MLP_RB:
+            print(f"WARNING: rows={rows} (11*envs) is not a multiple of "
+                  f"mlp-kernel ROW_BLOCK={MLP_RB}; the fused-MLP path "
+                  "cannot engage — measuring (and labeling) UNFUSED.",
+                  file=sys.stderr)
+            args.fused_mlp = False
+        else:
+            fused_tag = ",fused"
     preset = {"none": "small", "gru": "small", "vit-tiny": "tiny",
               "vit-small": "small", "vit-base": "base"}[args.policy]
     if args.vit_images:
@@ -209,12 +229,12 @@ def main():
             return carry, acts
         carry0 = ()
     else:
-        preset = {"gru": None, "vit-tiny": "tiny", "vit-small": "small",
-                  "vit-base": "base"}[args.policy]
+        # `preset` comes from the single policy->preset map at the top of
+        # main() (also used for the metric label); the gru network ignores it
         tc = TrainConfig(
             num_envs=args.envs,
             network=("gru", "vit_gru") if use_vision else ("gru", "gru"),
-            vit_preset=preset or "tiny",
+            vit_preset=preset,
             vit_fused_mlp=args.fused_mlp,
             vit_fused_block=args.fused_block)
         nets, net_params, hs = [], [], []

@@ -40,8 +40,14 @@ from jax.experimental import pallas as pl
 
 Array = jax.Array
 
-ROW_BLOCK = 1024   # rows per grid step; hidden (1024, 4W) bf16 stays well
-#                    inside VMEM for W<=768 (ViT-Base: 4.5 MB)
+ROW_BLOCK = 1024   # rows per grid step
+# Width guard: the kernels keep all weights resident (constant BlockSpec
+# index maps) plus the row-block ins/outs and the (ROW_BLOCK, 4W) bf16
+# hidden.  At W=384 (ViT-Small) that is ~2.7 MB weights + ~4.7 MB row io
+# + ~3.1 MB hidden — comfortably inside v5e's ~16 MB VMEM.  At W=768
+# (ViT-Base) the weights alone are ~10.6 MB and the total overflows, so
+# widths above MAX_WIDTH fall back to the unfused reference path.
+MAX_WIDTH = 512
 
 
 def _gelu(x: Array) -> Array:
@@ -87,7 +93,7 @@ def fused_ln_qkv(x: Array, gamma: Array, beta: Array, w: Array, bias: Array,
 def _ln_qkv_impl(x, gamma, beta, w, bias, interpret):
     rows, w_in = x.shape
     k = w.shape[1]
-    if (rows % ROW_BLOCK != 0
+    if (rows % ROW_BLOCK != 0 or w_in > MAX_WIDTH
             or (not interpret and jax.default_backend() != "tpu")):
         return _ln_qkv_reference(x, gamma, beta, w, bias)
     return pl.pallas_call(
@@ -166,7 +172,7 @@ def _proj_mlp_impl(attn_out, x, wp, bp, gamma, beta, w1, b1, w2, b2,
                    interpret):
     rows, w_in = x.shape
     hidden = w1.shape[1]
-    if (rows % ROW_BLOCK != 0
+    if (rows % ROW_BLOCK != 0 or w_in > MAX_WIDTH
             or (not interpret and jax.default_backend() != "tpu")):
         return _proj_mlp_reference(attn_out, x, wp, bp, gamma, beta,
                                    w1, b1, w2, b2)

@@ -40,8 +40,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     On TPU pods all arguments are auto-detected; on other platforms pass
     them explicitly.  Safe to call when already initialized (no-op) and in
     single-process runs (``num_processes=1`` or nothing to detect).
+
+    MUST run before anything initializes the XLA backends (jax refuses to
+    form the cluster afterwards) — so prior-init detection reads the
+    distributed client state directly instead of ``jax.process_count()``,
+    which would itself initialize the backends.
     """
-    if jax.process_count() > 1:
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     try:
         jax.distributed.initialize(
@@ -49,7 +56,9 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id)
     except (ValueError, RuntimeError) as e:
-        # single-process run with nothing to auto-detect: stay local
+        # single-process run with nothing to auto-detect: stay local.
+        # (RuntimeError also fires when backends are already initialized —
+        # surface that loudly rather than silently degrading a pod run.)
         if num_processes not in (None, 1):
             raise
         import sys
@@ -77,8 +86,10 @@ def make_hybrid_mesh(ici_shape: Optional[Tuple[int, ...]] = None,
         raise ValueError(
             f"ici_shape={ici_shape} needs {n_ici} devices per host but "
             f"each of the {n_proc} hosts has {per_host}")
-    # jax.devices() orders by process; [host, local_device] major order
-    # keeps the DCN axis across hosts and the ICI axes within one host
+    # group rows strictly by owning process — device-id order is not
+    # guaranteed process-contiguous on every topology, and a mixed row
+    # would put "ICI" axes across hosts (per-step collectives over DCN)
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     arr = np.asarray(devices).reshape(n_proc, per_host)[:, :n_ici]
     arr = arr.reshape((n_proc,) + tuple(ici_shape))
     return Mesh(arr, axis_names=(dcn_axis,) + tuple(ici_axes))

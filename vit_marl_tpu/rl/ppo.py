@@ -147,6 +147,13 @@ def _resume(ckpt, runner_state):
         if "opt_leaves" in restored:
             live_leaves, treedef = jax.tree.flatten(ts.opt_state)
             saved_leaves = jax.tree.leaves(restored["opt_leaves"][i])
+            if len(live_leaves) != len(saved_leaves):
+                raise ValueError(
+                    f"resume: optimizer structure changed since the "
+                    f"checkpoint was written (agent type {i}: "
+                    f"{len(saved_leaves)} saved leaves vs "
+                    f"{len(live_leaves)} live — did anneal_lr / the optax "
+                    "chain change?). Start fresh or restore params-only.")
             kwargs["opt_state"] = jax.tree.unflatten(
                 treedef, [place(lv, sv) for lv, sv
                           in zip(live_leaves, saved_leaves)])
