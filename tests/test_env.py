@@ -521,3 +521,54 @@ def test_step_determinism(env2p, env2p_params):
     diff = any(not np.array_equal(np.asarray(x), np.asarray(y))
                for x, y in zip(jax.tree.leaves(a[-1]), jax.tree.leaves(c[-1])))
     assert diff  # different seed -> different trajectory
+
+
+class TestObsSpaceShapes:
+    """Every declared observation space must match the actual observation
+    shape at reset AND after a step (regression: the MM 'messages' space
+    declared data+own rows while the obs carried the full world stream;
+    execution_policy with normalize=False emitted 22 of 28 dims)."""
+
+    MM_SPACES = ["engineered", "basic", "messages", "messages_tokenized"]
+    EXE_SPACES = ["basic", "simplest_case", "engineered", "execution_policy"]
+
+    def _check(self, env):
+        params = env.default_params
+        obs, st = env.reset(KEY, params)
+        acts = [sp.sample(KEY) for sp in env.action_spaces]
+        obs2, _, _, _, _ = env.step(KEY, st, acts, params)
+        for i, sp in enumerate(env.observation_spaces):
+            for o in (obs[i], obs2[i]):
+                actual = jax.tree.map(lambda v: v.shape[1:], o)  # drop inst
+                if hasattr(sp, "spaces"):
+                    for k, sub in sp.spaces.items():
+                        assert actual[k] == sub.shape, (i, k, actual, sub.shape)
+                else:
+                    assert actual == sp.shape, (i, actual, sp.shape)
+
+    @pytest.mark.parametrize("mm_space", MM_SPACES)
+    def test_mm_spaces_in_2p_world(self, mm_space):
+        env = make_env(agents=(
+            MarketMakingConfig(observation_space=mm_space),
+            ExecutionConfig(action_space="simplest_case",
+                            observation_space="simplest_case",
+                            reward_space="simplest_case")))
+        self._check(env)
+
+    @pytest.mark.parametrize("exe_space", EXE_SPACES)
+    @pytest.mark.parametrize("normalize", [True, False])
+    def test_exec_spaces(self, exe_space, normalize):
+        env = make_env(agents=(
+            ExecutionConfig(action_space="simplest_case",
+                            observation_space=exe_space,
+                            reward_space="simplest_case",
+                            normalize=normalize),), n=(1,))
+        self._check(env)
+
+    def test_exec_vision_dict_space(self):
+        env = make_env(agents=(
+            ExecutionConfig(action_space="policy_blending",
+                            observation_space="execution_policy",
+                            reward_space="dual_ppo",
+                            use_vision_obs=True),), n=(1,))
+        self._check(env)

@@ -96,7 +96,14 @@ class TradeStats(NamedTuple):
 
 
 def extract_trade_stats(trades: Array, trader_id: Array) -> TradeStats:
-    """Split the step's trade log into this agent's buys/sells vs others."""
+    """Split the step's trade log into this agent's buys/sells vs others.
+
+    Reference-API surface, NOT the training hot path: rewards consume
+    per-trader :class:`TradeSummary` aggregates (``summarize_trades`` /
+    the kernel's in-VMEM sums) and never re-scan the trade log.  This
+    trade-log formulation is kept for users of the reference's
+    `get_agent_trades`-style workflow and is held consistent with the
+    summary path by ``tests/test_trade_summary.py``."""
     executed = jnp.where((trades[:, TradeCol.PRICE] >= 0)[:, None], trades, 0)
     mine = ((trader_id == executed[:, TradeCol.PASS_TID])
             | (trader_id == executed[:, TradeCol.AGR_TID]))

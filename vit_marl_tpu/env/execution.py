@@ -74,7 +74,9 @@ class ExecutionAgent:
         z = jnp.float32(0.0)
         state = ExecState(
             init_price=world.mid_price,
-            task_to_execute=jnp.asarray(self.cfg.task_size, jnp.int32),
+            # per-INSTANCE task size (defaults to cfg.task_size via
+            # default_params; heterogeneous agents may override the vector)
+            task_to_execute=jnp.asarray(params_i.task_size, jnp.int32),
             quant_executed=jnp.int32(0),
             total_revenue=z, drift_return=z, advantage_return=z,
             slippage_rm=z, price_adv_rm=z, price_drift_rm=z, vwap_rm=z,
@@ -286,7 +288,10 @@ class ExecutionAgent:
         """TWAP baseline (ref: vision_env.py:1329-1424); fixed_steps only."""
         if self.wcfg.ep_type != "fixed_steps":
             raise NotImplementedError("twap requires fixed_steps episodes")
-        steps_left = world.max_steps_in_episode - world.step_counter - 1
+        # max(…, 1): a one-step episode (short data window) would divide by
+        # zero and ceil(inf) saturates to an int32-garbage order size
+        steps_left = jnp.maximum(
+            world.max_steps_in_episode - world.step_counter - 1, 1)
         quant_left = state.task_to_execute - state.quant_executed
         step_quant = jnp.ceil(quant_left / steps_left).astype(jnp.int32)
         prices4 = self._task_prices(world, state)
@@ -672,8 +677,17 @@ class ExecutionAgent:
         """10 private + 9 aggressive-side + 9 passive-side features
         (ref: vision_env.py:2574-2707)."""
         raw3 = bk.get_vision_l2_state(self.wcfg, 3, world.asks, world.bids)
-        feats = (self.normalize_vision_obs(raw3, world) if normalize
-                 else raw3.astype(jnp.float32))
+        if normalize:
+            feats = self.normalize_vision_obs(raw3, world)
+        else:
+            # unnormalized counterpart of the (gap, vol, cumvol) layout —
+            # raw (levels, 2, 2) is (price, vol) only, and slicing it as
+            # the 3-feature layout would silently emit a 22-dim obs
+            # against the declared 28-dim space
+            price = raw3[:, 0, :].astype(jnp.float32)
+            vol = raw3[:, 1, :].astype(jnp.float32)
+            cum = jnp.cumsum(jnp.maximum(vol, 0), axis=0)
+            feats = jnp.stack([price, vol, cum], axis=1)
         # channel 0 = asks, 1 = bids; aggressive side faces the task
         aggr = jnp.where(state.is_sell_task, feats[:, :, 1], feats[:, :, 0])
         pass_ = jnp.where(state.is_sell_task, feats[:, :, 0], feats[:, :, 1])

@@ -603,6 +603,14 @@ class MarketMakingAgent:
             return spaces.Discrete(4 if self.cfg.simple_nothing_action else 3)
         raise ValueError(a)
 
+    def _stream_len(self) -> int:
+        """Rows in the message-stream observation: the WORLD's combined
+        per-step stream (data + every agent's messages, set by WorldEnv at
+        construction).  Standalone fallback: data + own messages, the
+        reference's single-agent stream (ref: mm_env.py:2425-2427)."""
+        return getattr(self, "total_msgs_per_step",
+                       self.cfg.num_messages + self.wcfg.n_data_msg_per_step)
+
     def observation_space(self):
         """(ref: mm_env.py:2767-2793)"""
         o = self.cfg.observation_space
@@ -612,12 +620,12 @@ class MarketMakingAgent:
         if o == "basic":
             return spaces.Box(-10_000, 10_000, (1,), jnp.float32)
         if o == "messages":
-            n = self.cfg.num_messages + self.wcfg.n_data_msg_per_step
+            n = self._stream_len()
             return spaces.Box(-self.wcfg.maxint, self.wcfg.maxint, (n, 8),
                               jnp.int32)
         if o == "messages_tokenized":
             from vit_marl_tpu.data.tokenizer import DEFAULT_TOKENIZER
-            n = self.cfg.num_messages + self.wcfg.n_data_msg_per_step
+            n = self._stream_len()
             return spaces.Box(0, DEFAULT_TOKENIZER.TOTAL_NUM_TOKENS - 1,
                               (n * 13 + 84,), jnp.int32)
         raise ValueError(o)

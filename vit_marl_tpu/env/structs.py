@@ -105,7 +105,13 @@ class MMParams:
 
 @struct.dataclass
 class ExecParams:
-    """Per-instance execution params, leading axis = instances."""
+    """Per-instance execution params, leading axis = instances.
+
+    ``trader_id``/``task_size``/``reward_lambda``/``time_delay_obs_act``
+    are consumed per instance (heterogeneous agents may override the
+    vectors).  ``normalize`` is carried for reference parity but the obs
+    pipeline branches on the STATIC ``cfg.normalize`` (shape-changing
+    normalization cannot be a traced per-instance value)."""
 
     trader_id: Array
     task_size: Array

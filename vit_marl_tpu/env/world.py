@@ -81,6 +81,11 @@ class WorldEnv:
         self.n_windows = int(
             self._world_params.init_states.window_index.shape[0])
 
+        for a in self.agent_types:
+            # message-stream observations carry the WORLD's combined stream
+            # (all agents + data, post-shuffle) — agents need the total to
+            # declare the right obs-space shape
+            a.total_msgs_per_step = self.num_msgs_per_step
         self.action_spaces = [a.action_space() for a in self.agent_types]
         self.observation_spaces = [a.observation_space() for a in self.agent_types]
 
@@ -307,12 +312,15 @@ class WorldEnv:
         """Per-env step (ref: marl_env.py:241-662); vmap-compatible."""
         wcfg = self.wcfg
         world = state.world
+        # independent keys: reusing one key would correlate the engine's
+        # random-cancel draws with the action/shuffle randomness
+        key_build, key_engine = jax.random.split(key)
         combined, new_id_counter, lob_before = self._build_messages(
-            key, state, actions, params)
+            key_build, state, actions, params)
         book0 = bk.BookState(asks=world.asks, bids=world.bids,
                              trades=bk.init_trades(wcfg.n_trades))
         book, (bestasks, bestbids) = engine.process_messages_save_bidask(
-            wcfg, key, combined, book0, self.num_msgs_per_step)
+            wcfg, key_engine, combined, book0, self.num_msgs_per_step)
         return self._post_engine(state, params, book, bestasks, bestbids,
                                  combined, lob_before, new_id_counter)
 
@@ -349,6 +357,11 @@ class WorldEnv:
         E = states.world.step_counter.shape[0]
         key, key_step, key_reset = jax.random.split(key, 3)
         step_keys = jax.random.split(key_step, E)
+        # per-env (build, engine) keys, derived exactly like step_env's
+        # internal split so step_vec stays bit-equal to vmap(step_env);
+        # engine randomness must not correlate with the build/shuffle draws
+        sub = jax.vmap(lambda k: jax.random.split(k))(step_keys)
+        build_keys, engine_keys = sub[:, 0], sub[:, 1]
 
         if "build" in self._ablate:
             combined = jnp.zeros((E, self.num_msgs_per_step, 8), jnp.int32)
@@ -358,7 +371,7 @@ class WorldEnv:
             combined, new_id_counter, lob_before = jax.vmap(
                 self._build_messages,
                 in_axes=(0, 0, [0] * len(self.agent_types), None))(
-                step_keys, states, actions, params)
+                build_keys, states, actions, params)
 
         book0 = bk.BookState(
             asks=states.world.asks, bids=states.world.bids,
@@ -398,7 +411,7 @@ class WorldEnv:
             book, (bestasks, bestbids) = jax.vmap(
                 lambda k, m, b: engine.process_messages_save_bidask(
                     wcfg, k, m, b, self.num_msgs_per_step))(
-                step_keys, combined, book0)
+                engine_keys, combined, book0)
 
         post = partial(self._post_engine, skip_ffill=ffill_done)
         obs_st, st_st, rewards, dones, infos = jax.vmap(

@@ -304,7 +304,10 @@ def _cancel(cfg: EngineConfig, key: Array, side: SideState, price: Array,
     pos = jnp.maximum(idx, 0)
     new_q = side.quant[pos] - quant
     slots = _slot_iota(side.n)
-    decremented = side.replace(quant=side.quant.at[pos].set(new_q))
+    # lane-wise select, not .at[pos].set: a computed-index scatter costs
+    # ~18 us/row on this TPU runtime (CLAUDE.md perf rule 5)
+    decremented = side.replace(
+        quant=jnp.where(slots == pos, side.quant - quant, side.quant))
     removed = _wipe(decremented, slots == pos)
     updated = _select_side(new_q <= 0, removed, decremented)
     return _select_side(found, updated, side)
