@@ -377,7 +377,9 @@ class TrainConfig:
     checkpoint_max_to_keep: int = 2
     # save every K updates (the reference saves every update, which for a
     # ViT-sized policy moves ~90 MB of params per update; the final update
-    # always saves)
+    # always saves).  Checkpoints also carry optimizer state for resume —
+    # Adam roughly triples the payload — so prefer checkpoint_every >= 10
+    # for big networks (the shipped session scripts use 10)
     checkpoint_every: int = 1
     # resume from the latest checkpoint in checkpoint_dir (params +
     # optimizer state + step; the update loop continues at the saved

@@ -98,6 +98,14 @@ def learning_curves(metrics_jsonl: str, save_path: Optional[str] = None,
     import matplotlib.pyplot as plt
 
     rows = [json.loads(line) for line in open(metrics_jsonl)]
+    # resume appends: a run killed between checkpoints re-runs (and
+    # re-logs) the updates since the last save — keep the LAST row per
+    # update_step so curves stay monotonic and single-valued
+    if rows and "update_step" in rows[0]:
+        dedup = {}
+        for r in rows:
+            dedup[r.get("update_step")] = r
+        rows = [dedup[k] for k in sorted(dedup)]
     names = sorted({k.split("/")[0] for k in rows[0] if "/" in k})
     fig, axes = plt.subplots(1, len(names), figsize=(5 * len(names), 3.2),
                              squeeze=False)

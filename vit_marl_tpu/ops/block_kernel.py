@@ -93,7 +93,9 @@ def fused_ln_qkv(x: Array, gamma: Array, beta: Array, w: Array, bias: Array,
 def _ln_qkv_impl(x, gamma, beta, w, bias, interpret):
     rows, w_in = x.shape
     k = w.shape[1]
-    if (rows % ROW_BLOCK != 0 or w_in > MAX_WIDTH
+    # guard the OUTPUT width too (k = 3W for QKV, but callers may pass
+    # anything): the (ROW_BLOCK, k) f32 accumulator must fit VMEM
+    if (rows % ROW_BLOCK != 0 or w_in > MAX_WIDTH or k > 4 * MAX_WIDTH
             or (not interpret and jax.default_backend() != "tpu")):
         return _ln_qkv_reference(x, gamma, beta, w, bias)
     return pl.pallas_call(
@@ -172,7 +174,9 @@ def _proj_mlp_impl(attn_out, x, wp, bp, gamma, beta, w1, b1, w2, b2,
                    interpret):
     rows, w_in = x.shape
     hidden = w1.shape[1]
-    if (rows % ROW_BLOCK != 0 or w_in > MAX_WIDTH
+    # hidden width guard: non-default mlp_ratio can overflow VMEM even at
+    # an allowed w_in (the hidden block + its f32 accumulator dominate)
+    if (rows % ROW_BLOCK != 0 or w_in > MAX_WIDTH or hidden > 4 * MAX_WIDTH
             or (not interpret and jax.default_backend() != "tpu")):
         return _proj_mlp_reference(attn_out, x, wp, bp, gamma, beta,
                                    w1, b1, w2, b2)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
+import jax  # orbax imports jax transitively; keep the dependency explicit
 import orbax.checkpoint as ocp
 
 
@@ -33,7 +34,6 @@ class CheckpointManager:
         (``EmptyState``) that pytree checkpointing rejects; the caller
         re-unflattens against its live treedef on restore.
         """
-        import jax
 
         payload = {"params": params_list}
         if metrics is not None:
@@ -56,7 +56,6 @@ class CheckpointManager:
         # written, so a TPU-trained checkpoint refuses to restore on CPU (or
         # any different topology) with "Device TPU v5 lite0 was not found in
         # jax.local_devices()".  Numpy leaves transfer on first use.
-        import jax
         import numpy as np
 
         path = os.path.join(self.directory, str(step), "default")

@@ -136,6 +136,13 @@ def _resume(ckpt, runner_state):
 
     def place(live, saved):
         saved = jnp.asarray(saved, dtype=live.dtype)
+        if jnp.shape(saved) != jnp.shape(live):
+            raise ValueError(
+                f"resume: checkpoint leaf shape {jnp.shape(saved)} does not "
+                f"match the live network's {jnp.shape(live)} — the network "
+                "architecture changed since the checkpoint was written "
+                "(hidden_size/fc_dim/preset?). Start fresh or match the "
+                "original config.")
         if hasattr(live, "sharding"):
             saved = jax.device_put(saved, live.sharding)
         return saved
@@ -157,8 +164,9 @@ def _resume(ckpt, runner_state):
             kwargs["opt_state"] = jax.tree.unflatten(
                 treedef, [place(lv, sv) for lv, sv
                           in zip(live_leaves, saved_leaves)])
-            kwargs["step"] = place(jnp.asarray(ts.step),
-                                   restored["step"][i])
+            if "step" in restored:  # save() allows opt_states without steps
+                kwargs["step"] = place(jnp.asarray(ts.step),
+                                       restored["step"][i])
         else:
             print("WARNING: checkpoint predates optimizer-state saving; "
                   "resuming params-only with a fresh optimizer",
@@ -461,6 +469,11 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
             from vit_marl_tpu.rl.checkpoint import CheckpointManager
             ckpt = CheckpointManager(cfg.checkpoint_dir,
                                      max_to_keep=cfg.checkpoint_max_to_keep)
+        if cfg.resume and ckpt is None:
+            raise ValueError(
+                "RESUME=true needs CHECKPOINT_DIR set — with no checkpoint "
+                "directory there is nothing to resume from (refusing to "
+                "silently restart at update 0)")
         if ckpt is not None and cfg.resume and ckpt.latest_step() is not None:
             runner_state, start_update = _resume(ckpt, runner_state)
         use_loop = cfg.rollout_mode == "loop" or (
