@@ -1,0 +1,77 @@
+#!/bin/bash
+# Resumable round-3 chip-time queue (supersedes chip_session.sh for reruns).
+#
+# Every step checks its artifact for a success marker and is SKIPPED when
+# already done, so tools/relay_watch.sh can re-invoke this script after every
+# relay wedge and only the missing measurements run.  A step that fails is
+# retried on the next invocation, up to MAX_ATTEMPTS times total (so a
+# genuinely broken step can't loop forever).
+#
+# Exit status: 0 when every step is done (or permanently abandoned),
+# 1 when at least one step is still pending (relay wedged mid-queue).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p runs/r3
+MAX_ATTEMPTS=4
+PENDING=0
+log() { echo "=== $(date +%H:%M:%S) $*"; }
+
+# step <artifact> <success-marker-grep> <timeout_s> <cmd...>
+step() {
+  local f=$1 marker=$2 tmo=$3; shift 3
+  local name=${f##*/}
+  if [ -f "$f" ] && grep -q "$marker" "$f" && ! grep -q '"error"' "$f"; then
+    log "skip $name (done)"
+    return 0
+  fi
+  local att_file="runs/r3/.attempts_${name}"
+  local att=$(( $(cat "$att_file" 2>/dev/null || echo 0) + 1 ))
+  if [ "$att" -gt "$MAX_ATTEMPTS" ]; then
+    log "abandon $name (tried $MAX_ATTEMPTS times)"
+    return 0
+  fi
+  echo "$att" > "$att_file"
+  log "run $name (attempt $att): $*"
+  timeout "$tmo" "$@" 2>&1 | tee "$f"
+  if [ -f "$f" ] && grep -q "$marker" "$f" && ! grep -q '"error"' "$f"; then
+    log "done $name"
+  else
+    log "FAILED $name — will retry on next invocation"
+    PENDING=1
+    # a failed step usually means the relay wedged; stop burning the queue
+    # and let the watcher re-probe before trying the remaining steps
+    return 1
+  fi
+}
+
+# Priority order: driver-metric benches first, then profiling, then the
+# long grid/sweep steps.
+step runs/r3/bench_vit.txt '"metric"' 1500 \
+  python bench.py --envs 8192 || exit 1
+step runs/r3/bench_gru.txt '"metric"' 1200 \
+  python bench.py --policy gru --envs 8192 || exit 1
+step runs/r3/selfcheck.txt '"value": 1' 900 \
+  python bench.py --selfcheck || exit 1
+step runs/r3/vit_images.txt '"metric"' 1500 \
+  python bench.py --vit-images --envs 8192 || exit 1
+step runs/r3/bench_vit_fused.txt '"metric"' 1500 \
+  python bench.py --envs 8192 --fused-mlp || exit 1
+step runs/r3/bench_vit_fusedblock.txt '"metric"' 1500 \
+  python bench.py --envs 8192 --fused-block || exit 1
+step runs/r3/bench_vit_16k.txt '"metric"' 1800 \
+  python bench.py --envs 16384 || exit 1
+step runs/r3/profile_vit.txt 'MFLOP/env' 1800 \
+  python tools/profile_vit.py --envs 8192 || exit 1
+step runs/r3/speed_test.txt "'n_exec': 10, 'n_data_msg': 1" 2400 \
+  python -m vit_marl_tpu.eval.speed_test || exit 1
+for mb in 1 2 4; do
+  step runs/r3/mb_$mb.txt 'env-steps/s (incl. compile)' 1800 \
+    python -m vit_marl_tpu.train --config configs/ippo_2player.yaml \
+      --set NUM_MINIBATCHES=$mb --set TOTAL_TIMESTEPS=1.6e7 --timing \
+      --set LOG_BACKEND=jsonl --set LOG_PATH=runs/r3/mb_$mb.jsonl || exit 1
+done
+
+if [ "$PENDING" -eq 0 ]; then
+  log "queue complete — inspect runs/r3/ and update BASELINE.md"
+fi
+exit "$PENDING"

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Poll the axon TPU relay; whenever it answers a bounded probe, run the
+# resumable chip queue (tools/chip_queue.sh).  Loops until the queue reports
+# complete.  Run in the background; all output to runs/relay_watch.log.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p runs
+PROBE_TIMEOUT=${PROBE_TIMEOUT:-300}
+SLEEP=${SLEEP:-240}
+
+probe() {
+  timeout "$PROBE_TIMEOUT" python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+x = jnp.full((128, 128), 2.0)
+assert float(jax.device_get(x @ x).sum()) > 0
+EOF
+}
+
+while true; do
+  if probe; then
+    echo "$(date +%H:%M:%S) relay UP — running chip queue"
+    if bash tools/chip_queue.sh; then
+      echo "$(date +%H:%M:%S) chip queue COMPLETE"
+      break
+    fi
+    echo "$(date +%H:%M:%S) queue interrupted (relay wedged mid-run?)"
+  else
+    echo "$(date +%H:%M:%S) relay down (probe >${PROBE_TIMEOUT}s or failed)"
+  fi
+  sleep "$SLEEP"
+done
