@@ -88,6 +88,29 @@ class TestViT:
         np.testing.assert_allclose(np.asarray(out), np.asarray(flat),
                                    rtol=2e-2, atol=2e-2)  # bf16 matmuls
 
+    def test_encoder_rows_2d_matches_rank3(self):
+        """The flat-row layout (rows_2d, TPU tiling win) is bit-identical
+        to the rank-3 token layout and shares the same param tree."""
+        import dataclasses
+
+        from vit_marl_tpu.models.vit import ViTConfig
+        cfg3 = ViTConfig(width=64, depth=2, heads=2, rows_2d=False)
+        cfg2 = dataclasses.replace(cfg3, rows_2d=True)
+        enc3, enc2 = ViTEncoder(cfg3), ViTEncoder(cfg2)
+        img = jax.random.normal(KEY, (7, 10, 3, 2))
+        params = enc3.init(KEY, img)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(enc2.init(KEY, img)))
+        out3 = enc3.apply(params, img)
+        out2 = enc2.apply(params, img)
+        np.testing.assert_array_equal(np.asarray(out3), np.asarray(out2))
+        # gradients flow through the remat'd 2-D blocks
+        g = jax.grad(lambda p: float(0) + (enc2.apply(p, img) ** 2).sum())(
+            params)
+        total = sum(float(np.abs(np.asarray(l)).sum())
+                    for l in jax.tree.leaves(g))
+        assert total > 0
+
     def test_encoder_fp32_fidelity(self):
         """bf16 compute stays close to an fp32 reference forward pass."""
         from vit_marl_tpu.models.vit import ViTConfig

@@ -47,19 +47,19 @@ step() {
 # Priority order: driver-metric benches first, then profiling, then the
 # long grid/sweep steps.
 step runs/r3/bench_vit.txt '"metric"' 1500 \
-  python bench.py --envs 8192 || exit 1
+  python bench.py --envs 8192 --deadline 1380 || exit 1
 step runs/r3/bench_gru.txt '"metric"' 1200 \
-  python bench.py --policy gru --envs 8192 || exit 1
+  python bench.py --policy gru --envs 8192 --deadline 1080 || exit 1
 step runs/r3/selfcheck.txt '"value": 1' 900 \
-  python bench.py --selfcheck || exit 1
+  python bench.py --selfcheck --deadline 780 || exit 1
 step runs/r3/vit_images.txt '"metric"' 1500 \
-  python bench.py --vit-images --envs 8192 || exit 1
+  python bench.py --vit-images --envs 8192 --deadline 1380 || exit 1
 step runs/r3/bench_vit_fused.txt '"metric"' 1500 \
-  python bench.py --envs 8192 --fused-mlp || exit 1
+  python bench.py --envs 8192 --fused-mlp --deadline 1380 || exit 1
 step runs/r3/bench_vit_fusedblock.txt '"metric"' 1500 \
-  python bench.py --envs 8192 --fused-block || exit 1
+  python bench.py --envs 8192 --fused-block --deadline 1380 || exit 1
 step runs/r3/bench_vit_16k.txt '"metric"' 1800 \
-  python bench.py --envs 16384 || exit 1
+  python bench.py --envs 16384 --deadline 1680 || exit 1
 step runs/r3/profile_vit.txt 'MFLOP/env' 1800 \
   python tools/profile_vit.py --envs 8192 || exit 1
 step runs/r3/speed_test.txt "'n_exec': 10, 'n_data_msg': 1" 2400 \

@@ -111,6 +111,11 @@ def main():
     efparams = encf.init(key, img)
     results["vit_encoder_fusedblock"] = timed(
         lambda im: encf.apply(efparams, im), img, args.reps)
+    # rank-3 token layout A/B: rows_2d (the default) runs LN/MLP/residual on
+    # flat unpadded (B*N, W) rows; rank-3 (B, 11, W) pads sublanes 11->16
+    enc3 = ViTEncoder(dataclasses.replace(cfg, rows_2d=False))
+    results["vit_encoder_rank3"] = timed(
+        lambda im: enc3.apply(eparams, im), img, args.reps)
 
     # ---- 12x attention sub-stack (LN + MHA + residual) ----
     class AttnStack(nn.Module):

@@ -66,6 +66,14 @@ class ViTConfig:
     # (raw kernels instead of Dense submodules), so checkpoints don't
     # interchange between modes.  Takes precedence over fused_mlp.
     fused_block: bool = False
+    # run LN / residual / MLP / projection on flat (B*N, W) rows instead of
+    # (B, N, W) tokens.  TPU tiling pads the second-to-minor dim to the
+    # sublane count (8 for f32, 16 for bf16), so rank-3 activations with
+    # N=11 tokens waste ~31-45% of the bandwidth of every elementwise op;
+    # flat rows are unpadded.  Attention still sees (B, N, H, D) — the
+    # reshape in/out of the attention core exists in both layouts.  Math
+    # (and the param tree) is identical either way.
+    rows_2d: bool = True
 
 
 VIT_PRESETS = {
@@ -117,10 +125,17 @@ class MHA(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, n_tokens: Optional[int] = None) -> Array:
+        """x: (B, N, W) tokens, or flat (B*N, W) rows with ``n_tokens=N``
+        (rows_2d layout).  Output matches the input rank; the param tree is
+        identical in both layouts."""
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        B, N, W = x.shape
+        if x.ndim == 2:
+            N = n_tokens
+            B, W = x.shape[0] // N, x.shape[1]
+        else:
+            B, N, W = x.shape
         head_dim = W // c.heads
         qkv = nn.Dense(3 * W, dtype=dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, c.heads, head_dim)
@@ -129,7 +144,7 @@ class MHA(nn.Module):
         else:
             q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
             out = jnp.moveaxis(dot_product_attention(q, k, v, dtype), 1, 2)
-        out = out.reshape(B, N, W)
+        out = out.reshape((B * N, W) if x.ndim == 2 else (B, N, W))
         return nn.Dense(W, dtype=dtype, name="proj")(out)
 
 
@@ -137,13 +152,15 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, n_tokens: Optional[int] = None) -> Array:
+        """x: (B, N, W) tokens, or flat (B*N, W) rows with ``n_tokens=N``
+        (the rows_2d layout — see ViTConfig.rows_2d)."""
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         if c.fused_block:
-            return self._fused_block(x, dtype)
+            return self._fused_block(x, dtype, n_tokens)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
-        x = x + MHA(c, name="attn")(h)
+        x = x + MHA(c, name="attn")(h, n_tokens)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
         if c.fused_mlp:
             # dense->gelu->dense with the 4W-wide hidden rows kept in VMEM
@@ -155,24 +172,28 @@ class Block(nn.Module):
             b1 = self.param("mlp1_bias", nn.initializers.zeros, (H,))
             w2 = self.param("mlp2_kernel", init, (H, W))
             b2 = self.param("mlp2_bias", nn.initializers.zeros, (W,))
-            B, N, _ = h.shape
-            out = fused_mlp(h.reshape(B * N, W), w1.astype(dtype),
+            out = fused_mlp(h.reshape(-1, W), w1.astype(dtype),
                             b1, w2.astype(dtype), b2, False)
-            h = out.reshape(B, N, W)
+            h = out.reshape(h.shape)
         else:
             h = nn.Dense(c.width * c.mlp_ratio, dtype=dtype, name="mlp1")(h)
             h = nn.gelu(h)
             h = nn.Dense(c.width, dtype=dtype, name="mlp2")(h)
         return x + h
 
-    def _fused_block(self, x: Array, dtype) -> Array:
+    def _fused_block(self, x: Array, dtype,
+                     n_tokens: Optional[int] = None) -> Array:
         """Pallas block halves (ops/block_kernel.py): LN1+QKV fused, XLA
         attention, then proj+residual+LN2+MLP+residual fused.  Same math
         as the unfused path (LN f32 stats, f32-accumulated matmuls)."""
         from vit_marl_tpu.ops.block_kernel import fused_ln_qkv, fused_proj_mlp
 
         c = self.cfg
-        B, N, W = x.shape
+        if x.ndim == 2:
+            N = n_tokens
+            B, W = x.shape[0] // N, x.shape[1]
+        else:
+            B, N, W = x.shape
         H = c.heads
         init = nn.initializers.lecun_normal()
         ones, zeros = nn.initializers.ones, nn.initializers.zeros
@@ -201,7 +222,7 @@ class Block(nn.Module):
         out = fused_proj_mlp(attn, xf, wp.astype(dtype), bp, g2, b2,
                              w1.astype(dtype), bm1, w2.astype(dtype), bm2,
                              False)
-        return out.reshape(B, N, W)
+        return out if x.ndim == 2 else out.reshape(B, N, W)
 
 
 class ViTEncoder(nn.Module):
@@ -226,11 +247,21 @@ class ViTEncoder(nn.Module):
         cls = jnp.broadcast_to(cls, (x.shape[0], 1, c.width)).astype(dtype)
         x = jnp.concatenate([cls, x], axis=1) + pos.astype(dtype)
 
-        block_cls = nn.remat(Block) if c.remat else Block
+        n_tokens = levels + 1
+        if c.rows_2d:
+            # flat (B*N, W) rows: unpadded TPU tiles for every LN/residual/
+            # MLP op (rank-3 N=11 pads the sublane dim to 16)
+            x = x.reshape(-1, c.width)
+        block_cls = (nn.remat(Block, static_argnums=(2,)) if c.remat
+                     else Block)
         for i in range(c.depth):
-            x = block_cls(c, name=f"block{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
-        out = x[:, 0].astype(jnp.float32)           # CLS token
+            x = block_cls(c, name=f"block{i}")(x, n_tokens)
+        if c.rows_2d:
+            x = x.reshape(-1, n_tokens, c.width)
+        # final LN commutes with the CLS slice (LN is per-token): slicing
+        # first does 1/n_tokens of the work
+        out = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x[:, 0])
+        out = out.astype(jnp.float32)               # CLS token
         return out.reshape(lead + (c.width,))
 
 
