@@ -70,6 +70,11 @@ for mb in 1 2 4; do
       --set NUM_MINIBATCHES=$mb --set TOTAL_TIMESTEPS=1.6e7 --timing \
       --set LOG_BACKEND=jsonl --set LOG_PATH=runs/r3/mb_$mb.jsonl || exit 1
 done
+# model-family breadth: tiny and base presets at the same workload
+step runs/r3/bench_vit_tiny.txt '"metric"' 1500 \
+  python bench.py --policy vit-tiny --envs 8192 --deadline 1380 || exit 1
+step runs/r3/bench_vit_base.txt '"metric"' 1500 \
+  python bench.py --policy vit-base --envs 8192 --deadline 1380 || exit 1
 
 if [ "$PENDING" -eq 0 ]; then
   log "queue complete — inspect runs/r3/ and update BASELINE.md"
