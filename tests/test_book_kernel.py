@@ -239,3 +239,108 @@ def test_cancel_after_full_fill_does_not_hit_stale_hole():
     assert occ.any(axis=1).all()
     q = np.where(occ, np.asarray(pal_book.bids.quant), 0).sum(axis=1)
     np.testing.assert_array_equal(q, np.full((E,), 3))
+
+
+# --------------------------------------------------------------------------
+# Random-cancel modes (CANCEL_UNIFORM / CANCEL_UNIFORM_AND_LARGE) in-kernel
+# --------------------------------------------------------------------------
+
+
+def _random_cancel_case(cfg):
+    """Book with 6 same-price bids (distinct positive oids — stages 1/2
+    miss) + a message stream that exercises every fallback stage."""
+    E = ENV_BLOCK
+    S = cfg.n_orders
+    dense = np.full((S, 6), -1, np.int32)
+    for i, oid in enumerate([500, 501, 502, 503, 504, 505]):
+        dense[i] = [1000, 10, oid, 7, 34200, i]
+    dense[6] = [990, 8, 510, 7, 34200, 6]
+    bids = bk.side_from_dense(jnp.asarray(dense))
+    adense = np.full((S, 6), -1, np.int32)
+    adense[0] = [1010, 5, 600, 7, 34200, 0]
+    asks = bk.side_from_dense(jnp.asarray(adense))
+    one = bk.canonicalize_book(bk.BookState(
+        asks=asks, bids=bids,
+        trades=jnp.full((cfg.n_trades, 8), -1, jnp.int32)))
+    batched = jax.tree.map(lambda v: jnp.broadcast_to(v, (E,) + v.shape), one)
+    stream = np.stack([
+        [2, 1, 5, 1000, 99999, 55, 34201, 0],   # stage-3: 6 candidates
+        [2, 1, 5, 1000, 99998, 55, 34202, 0],   # stage-3 on the mutated book
+        [1, -1, 12, 995, 700, 66, 34203, 0],    # crossing ask -> trades
+        [2, 1, 50, 1000, 99997, 55, 34204, 0],  # quant > all -> stage-4 only
+        [2, 1, 3, 990, 99996, 55, 34205, 0],    # single candidate
+        [1, 1, 7, 998, 701, 66, 34206, 1],      # fresh bid limit
+        [2, 1, 5, 1234, 99995, 55, 34207, 0],   # no candidates at price
+        [0, 0, 0, 0, 0, 0, 0, 0],               # noop
+    ]).astype(np.int32)
+    msgs = jnp.broadcast_to(jnp.asarray(stream), (E, stream.shape[0], 8))
+    return batched, msgs
+
+
+@pytest.mark.parametrize("mode", [2, 3])  # CANCEL_UNIFORM / ..._AND_LARGE
+def test_random_cancel_modes_match_engine(mode):
+    """Kernel random-cancel picks are bit-exact vs the XLA engine: both
+    consume ``uniform(split(key_m)[0])`` (the kernel's draws precomputed by
+    ``_per_message_uniforms``), and the 0/1-weight CDF is exact in f32."""
+    cfg = EngineConfig(cancel_mode=mode)
+    batched, msgs = _random_cancel_case(cfg)
+    E, M = msgs.shape[:2]
+    # run_xla derives its keys from PRNGKey(0) — use the SAME keys for the
+    # kernel so both paths draw identical uniforms
+    keys = jax.random.split(jax.random.PRNGKey(0), E)
+    xla_book, xa, xb, prev = run_xla(cfg, msgs, batched, M)
+    interpret = jax.default_backend() != "tpu"
+    kbook, (ka, kb), (recs, counts) = pallas_process_step(
+        cfg, msgs, batched, prev, interpret, engine_keys=keys)
+    assert_books_equal(xla_book, kbook)
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(ka))
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(kb))
+    trades = jax.vmap(finalize_trade_log_from_records)(
+        batched.trades, recs, msgs, counts)
+    np.testing.assert_array_equal(np.asarray(xla_book.trades),
+                                  np.asarray(trades))
+    # the uniform pick must actually be live: different envs (different
+    # keys) cancel different standing orders
+    uniq = {tuple(row[:8]) for row in np.asarray(kbook.bids.quant)}
+    assert len(uniq) > 1, "stage-3 pick did not vary across envs"
+
+
+def test_random_cancel_agg_mode_matches_engine_summary():
+    """Aggregate mode under CANCEL_UNIFORM: books and per-trader sums match
+    summarizing the XLA engine's trade log."""
+    cfg = EngineConfig(cancel_mode=2)
+    batched, msgs = _random_cancel_case(cfg)
+    E, M = msgs.shape[:2]
+    # tag the resting 990-bid as an agent order so fills involve the agent
+    tids = jnp.asarray(AGENT_TIDS, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), E)
+    xla_book, xa, xb, prev = run_xla(cfg, msgs, batched, M)
+    interpret = jax.default_backend() != "tpu"
+    ab, (aa, abb), (per_agent, totals) = pallas_process_step_aggs(
+        cfg, msgs, batched, tids, prev, TICK, interpret, engine_keys=keys)
+    # NOTE: run_xla uses PRNGKey(0)-derived keys; rerun the engine with the
+    # SAME keys as the kernel for the comparison
+    from functools import partial as _p
+    xla_book2, _ = jax.jit(jax.vmap(
+        _p(eng.process_messages_save_bidask, cfg, n_last=M),
+        in_axes=(0, 0, 0)))(keys, msgs, batched)
+    assert_books_equal(xla_book2, ab)
+    got = summary_from_aggs(
+        per_agent, jnp.broadcast_to(totals[:, None, :],
+                                    (E, len(AGENT_TIDS), totals.shape[-1])))
+    for k, tid in enumerate(AGENT_TIDS):
+        want = jax.vmap(summarize_trades, in_axes=(0, None, None))(
+            xla_book2.trades, jnp.int32(tid), TICK)
+        for name, w, g in zip(want._fields, want,
+                              jax.tree.map(lambda v: v[:, k], got)):
+            np.testing.assert_array_equal(
+                np.asarray(w), np.asarray(g), err_msg=name)
+    assert int(np.asarray(got.total_quant).sum()) > 0
+
+
+def test_random_cancel_mode_requires_keys():
+    cfg = EngineConfig(cancel_mode=2)
+    batched, msgs = _random_cancel_case(cfg)
+    with pytest.raises(ValueError, match="engine keys"):
+        pallas_process_step(cfg, msgs, batched, None,
+                            jax.default_backend() != "tpu")

@@ -349,10 +349,14 @@ class TestPallasAggregatePath:
     """step_vec's fused-kernel aggregate path == the XLA trade-log path."""
 
     @pytest.mark.slow
-    def test_step_vec_aggs_matches_xla(self):
+    @pytest.mark.parametrize("cancel_mode", [1, 2])
+    def test_step_vec_aggs_matches_xla(self, cancel_mode):
+        # cancel_mode 2 (CANCEL_UNIFORM) proves the step_vec wiring hands
+        # the kernel the same engine keys the XLA fallback would split
         def build(force):
             env = make_env(world=small_world(n_orders=32, n_trades=32,
-                                             n_data_msg_per_step=10))
+                                             n_data_msg_per_step=10,
+                                             cancel_mode=cancel_mode))
             env._force_pallas_interpret = force
             return env
 

@@ -331,8 +331,10 @@ class WorldEnv:
 
     @property
     def pallas_ok(self) -> bool:
-        return (self.wcfg.cancel_mode <= 1
-                and self.wcfg.n_orders % 8 == 0
+        # every cancel mode is kernel-eligible: the random-cancel fallbacks
+        # consume per-message uniforms computed from the same keys the XLA
+        # path would split (ops/book_kernel.py::_per_message_uniforms)
+        return (self.wcfg.n_orders % 8 == 0
                 and (jax.default_backend() == "tpu"
                      or self._force_pallas_interpret))
 
@@ -382,11 +384,15 @@ class WorldEnv:
             prev = jnp.stack([states.world.best_asks[:, -1, 0],
                               states.world.best_bids[:, -1, 0]], axis=1)
             interp = self._force_pallas_interpret
+            # the deterministic modes consume no randomness — keep their
+            # call signature (and compiled program) unchanged
+            ekeys = (engine_keys if wcfg.cancel_mode >= 2 else None)
             if wcfg.debug_mode:
                 # debug wants a full trade log: records path (fills per
                 # message capped at REC_K; counts expose truncation)
                 book, (bestasks, bestbids), (recs, counts) = \
-                    pallas_process_step(wcfg, combined, book0, prev, interp)
+                    pallas_process_step(wcfg, combined, book0, prev, interp,
+                                        engine_keys=ekeys)
                 trades = jax.vmap(finalize_trade_log_from_records)(
                     book0.trades, recs, combined, counts)
                 book = book.replace(trades=trades)
@@ -397,7 +403,8 @@ class WorldEnv:
                     [jnp.atleast_1d(p.trader_id) for p in params.agents])
                 book, (bestasks, bestbids), (per_agent, totals) = \
                     pallas_process_step_aggs(wcfg, combined, book0, tids,
-                                             prev, wcfg.tick_size, interp)
+                                             prev, wcfg.tick_size, interp,
+                                             engine_keys=ekeys)
                 summaries, off = [], 0
                 for n in self.n_per_type:
                     summaries.append(summary_from_aggs(

@@ -15,10 +15,17 @@ across the scan and lowers each message to ~100 register-level tile ops:
   double-buffered async DMA, so trade-log construction (one gather) stays
   outside the kernel (:func:`finalize_trade_log_from_records`).
 
-Semantics are identical to ``engine._process_message_core`` for cancel
-modes STRICT_BY_ID / INCLUDE_INITS (the random-cancel modes keep the XLA
-path).  Differential tests assert bit-equality of final books, best-price
-sequences and trade logs against the XLA engine.
+Semantics are identical to ``engine._process_message_core`` for every
+cancel mode.  The random-cancel fallbacks (CANCEL_UNIFORM /
+CANCEL_UNIFORM_AND_LARGE) consume one uniform draw per message computed
+OUTSIDE the kernel from the same per-message PRNG keys the XLA engine
+splits (``u = uniform(split(key_m)[0])``, see ``engine._random_id_pick``),
+so both paths see bit-identical randomness; the candidate CDF is a prefix
+sum of 0/1 weights (exact in f32), making the pick itself bit-exact.  The
+stages are statically gated on ``cfg.cancel_mode`` — deterministic modes
+compile the exact same kernel as before.  Differential tests assert
+bit-equality of final books, best-price sequences and trade logs against
+the XLA engine for all modes.
 """
 
 from __future__ import annotations
@@ -88,10 +95,17 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
     """
     maxint = cfg.maxint
     include_inits = cfg.cancel_mode >= CancelMode.INCLUDE_INITS
+    cancel_uniform = cfg.cancel_mode >= CancelMode.CANCEL_UNIFORM
+    cancel_large = cfg.cancel_mode >= CancelMode.CANCEL_UNIFORM_AND_LARGE
     n_groups = (n_msgs + REC_GROUP - 1) // REC_GROUP
     n_acc = AGG_STATS * n_agg + AGG_TOTALS
 
     def kernel(*refs):
+        # random-cancel modes prepend a (M, E) f32 uniform-draw input
+        if cancel_uniform:
+            u_ref, *refs = refs
+        else:
+            u_ref = None
         if want_records and n_agg:
             (msgs_ref, book_in_ref, prev_ref, tids_ref, book_out_ref,
              bidask_ref, rec_ref, agg_ref, book, rec_stage, send_sems,
@@ -155,14 +169,44 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
             # occupancy (price != EMPTY_SLOT).
             c_quant = jnp.where(is_cancel, quant, 0)
             c_oid = jnp.where(is_cancel, oid, 0)
-            idx1 = _first_idx((Yo == c_oid) & (Yp != EMPTY_SLOT), S)
+            occ_y0 = Yp != EMPTY_SLOT
+            idx1 = _first_idx((Yo == c_oid) & occ_y0, S)
             if include_inits:
                 m2 = ((Yp == price) & (Yo <= cfg.init_id) & (Yq >= c_quant)
-                      & (Yp != EMPTY_SLOT))
+                      & occ_y0)
                 idx2 = _first_idx(m2, S)
                 cidx = jnp.where(idx1 < S, idx1, idx2)
             else:
                 cidx = idx1
+            if cancel_uniform:
+                # uniform pick among candidates, by order id (mirrors
+                # engine._random_id_pick bit-exactly: same outside-computed
+                # uniform draw; the CDF is a prefix sum of 0/1 weights —
+                # exact in f32 — and the picked slot redirects to the FIRST
+                # live slot holding that oid, which matters for duplicate
+                # ids like the shared INITID).  Stale holes carry old
+                # prices/oids in-kernel (deferred wipes), so every mask
+                # guards on occupancy — the XLA engine's fully-wiped holes
+                # (price -1, oid -1) can never match a real cancel price.
+                u_raw = u_ref[pl.ds(m, 1)].reshape(1, ENV_BLOCK)   # (1, E)
+
+                def _cdf_pick(cand):
+                    w = cand.astype(jnp.float32)
+                    total = jnp.sum(w, axis=0, keepdims=True)
+                    uu = u_raw * jnp.maximum(total, 1.0)
+                    cdf = _prefix_sum(w)
+                    pick = _first_idx(cdf > uu, S)
+                    chosen = jnp.sum(jnp.where(iota == pick, Yo, 0),
+                                     axis=0, keepdims=True)
+                    idx = _first_idx((Yo == chosen) & occ_y0, S)
+                    return jnp.where(total > 0, idx, S)
+
+                m3 = ((Yp == price) & (Yq >= c_quant) & occ_y0
+                      & (Yo != 0))
+                cidx = jnp.where(cidx < S, cidx, _cdf_pick(m3))
+                if cancel_large:
+                    m3b = (Yp == price) & occ_y0 & (Yo != 0)
+                    cidx = jnp.where(cidx < S, cidx, _cdf_pick(m3b))
             found = cidx < S
             at_pos = iota == cidx
             q_at = jnp.sum(jnp.where(at_pos, Yq, 0), axis=0, keepdims=True)
@@ -392,11 +436,42 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
     return kernel
 
 
+def _per_message_uniforms(engine_keys: Array, n_msgs: int) -> Array:
+    """(M, E) f32 uniform draws matching the XLA engine's randomness.
+
+    The engine splits one key per message (``process_messages*``) and
+    ``_random_id_pick`` then draws ``uniform(split(key_m)[0])``.  Computing
+    the identical draws outside the kernel keeps the random-cancel pick
+    bit-exact between the two paths.
+    """
+    def env_u(k):
+        mk = jax.random.split(k, n_msgs)
+        return jax.vmap(
+            lambda kk: jax.random.uniform(jax.random.split(kk)[0]))(mk)
+
+    return jnp.transpose(jax.vmap(env_u)(engine_keys), (1, 0))
+
+
+def _uniform_input(cfg: EngineConfig, engine_keys, n_msgs: int):
+    """([input], [in_spec]) for the random-cancel uniforms, or ([], [])."""
+    if cfg.cancel_mode < CancelMode.CANCEL_UNIFORM:
+        return [], []
+    if engine_keys is None:
+        raise ValueError(
+            "cancel_mode >= CANCEL_UNIFORM needs per-env engine keys: pass "
+            "engine_keys=(E,) PRNG keys (the same keys the XLA fallback "
+            "would consume)")
+    return ([_per_message_uniforms(engine_keys, n_msgs)],
+            [pl.BlockSpec((n_msgs, ENV_BLOCK), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
                         prev_prices: Array = None,
                         interpret: bool = False,
-                        rec_k: int = REC_K
+                        rec_k: int = REC_K,
+                        engine_keys: Array = None
                         ) -> Tuple[BookState, Tuple[Array, Array], Array]:
     """Process one step's messages for a batch of environments.
 
@@ -410,13 +485,13 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
         ``fill_counts`` output exposes the true count, so truncation is
         detectable); the book update itself is always exact.  Raise it
         (up to n_orders) when deep-sweep trade logs must be exact.
+      engine_keys: (E,) per-env PRNG keys — required only for the
+        random-cancel modes, matching the XLA engine's draws.
 
     Returns:
       (book', (bestasks (E, M, 2), bestbids (E, M, 2)) forward-filled,
        (records (E, M, rec_k, 4), fill_counts (E, M))).
     """
-    assert cfg.cancel_mode <= CancelMode.INCLUDE_INITS, (
-        "random-cancel modes use the XLA engine path")
     E, M, _ = msgs.shape
     S = book.asks.price.shape[-1]
     assert E % ENV_BLOCK == 0, f"batch {E} must be a multiple of {ENV_BLOCK}"
@@ -434,11 +509,12 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
         prev_prices = jnp.full((E, 2), EMPTY_SLOT, jnp.int32)
     prev_k = jnp.transpose(prev_prices, (1, 0)).astype(jnp.int32)  # (2,E)
 
+    u_in, u_spec = _uniform_input(cfg, engine_keys, M)
     kernel = _make_kernel(cfg, M, S, rec_k=rec_k)
     book_out, bidask, records = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
+        in_specs=u_spec + [
             pl.BlockSpec((M, 8, ENV_BLOCK), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 6, S, ENV_BLOCK), lambda i: (0, 0, 0, i),
@@ -468,7 +544,7 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(msgs_k, packed, prev_k)
+    )(*u_in, msgs_k, packed, prev_k)
 
     book_out = jnp.transpose(book_out, (0, 1, 3, 2))  # (2,6,E,S)
 
@@ -494,7 +570,8 @@ def pallas_process_step(cfg: EngineConfig, msgs: Array, book: BookState,
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def pallas_process_step_aggs(cfg: EngineConfig, msgs: Array, book: BookState,
                              tids: Array, prev_prices: Array = None,
-                             tick: int = 100, interpret: bool = False
+                             tick: int = 100, interpret: bool = False,
+                             engine_keys: Array = None
                              ) -> Tuple[BookState, Tuple[Array, Array],
                                         Tuple[Array, Array]]:
     """Aggregate-mode step: per-trader TradeSummary sums instead of records.
@@ -506,13 +583,13 @@ def pallas_process_step_aggs(cfg: EngineConfig, msgs: Array, book: BookState,
     Args:
       tids: (n_agg,) int32 trader ids, ordered [type 0 instances..., type 1
         instances, ...] like ``WorldEnv.default_params`` assigns them.
+      engine_keys: (E,) per-env PRNG keys — required only for the
+        random-cancel modes, matching the XLA engine's draws.
 
     Returns:
       (book', (bestasks (E, M, 2), bestbids (E, M, 2)) forward-filled,
        (per_agent (E, n_agg, AGG_STATS), totals (E, AGG_TOTALS))).
     """
-    assert cfg.cancel_mode <= CancelMode.INCLUDE_INITS, (
-        "random-cancel modes use the XLA engine path")
     E, M, _ = msgs.shape
     S = book.asks.price.shape[-1]
     assert E % ENV_BLOCK == 0, f"batch {E} must be a multiple of {ENV_BLOCK}"
@@ -532,12 +609,13 @@ def pallas_process_step_aggs(cfg: EngineConfig, msgs: Array, book: BookState,
     prev_k = jnp.transpose(prev_prices, (1, 0)).astype(jnp.int32)  # (2,E)
     tids_k = jnp.broadcast_to(tids.astype(jnp.int32)[:, None], (n_agg, E))
 
+    u_in, u_spec = _uniform_input(cfg, engine_keys, M)
     kernel = _make_kernel(cfg, M, S, n_agg=n_agg, want_records=False,
                           tick=tick)
     book_out, bidask, aggs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
+        in_specs=u_spec + [
             pl.BlockSpec((M, 8, ENV_BLOCK), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 6, S, ENV_BLOCK), lambda i: (0, 0, 0, i),
@@ -565,7 +643,7 @@ def pallas_process_step_aggs(cfg: EngineConfig, msgs: Array, book: BookState,
             pltpu.VMEM((n_acc, ENV_BLOCK), jnp.int32),
         ],
         interpret=interpret,
-    )(msgs_k, packed, prev_k, tids_k)
+    )(*u_in, msgs_k, packed, prev_k, tids_k)
 
     book_out = jnp.transpose(book_out, (0, 1, 3, 2))  # (2,6,E,S)
 
