@@ -382,6 +382,24 @@ def kernel_selfcheck():
             xla_book.trades, jnp.int32(tid), TICK)
         for w, g in zip(want, jax.tree.map(lambda v: v[:, k], got)):
             ok &= bool(jnp.array_equal(np.asarray(w), np.asarray(g)))
+
+    # random-cancel mode: proves the Mosaic lowering of the in-kernel
+    # CDF pick (f32 prefix-sum rolls) in COMPILED mode — the CPU suite
+    # can only exercise it in interpret mode
+    from test_book_kernel import _random_cancel_case
+    cfg_u = EngineConfig(cancel_mode=2)
+    b_u, m_u = _random_cancel_case(cfg_u)
+    E_u, M_u = m_u.shape[:2]
+    keys_u = jax.random.split(jax.random.PRNGKey(0), E_u)
+    xla_u, (xua, xub) = jax.jit(jax.vmap(
+        partial(eng.process_messages_save_bidask, cfg_u, n_last=M_u),
+        in_axes=(0, 0, 0)))(keys_u, m_u, b_u)
+    prev_u = jnp.full((E_u, 2), 12_345, jnp.int32)
+    k_u, _, _ = pallas_process_step_aggs(
+        cfg_u, m_u, b_u, tids, prev_u, TICK, False, engine_keys=keys_u)
+    for x, y in zip(jax.tree.leaves((xla_u.asks, xla_u.bids)),
+                    jax.tree.leaves((k_u.asks, k_u.bids))):
+        ok &= bool(jnp.array_equal(x, y))
     import json as _json
     print(_json.dumps({"metric": "kernel_selfcheck_ok",
                        "value": 1.0 if ok else 0.0, "unit": "bool",
