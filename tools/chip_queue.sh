@@ -76,6 +76,16 @@ step runs/r3/bench_vit_tiny.txt '"metric"' 1500 \
 step runs/r3/bench_vit_base.txt '"metric"' 1500 \
   python bench.py --policy vit-base --envs 8192 --deadline 1380 || exit 1
 
+# auto-chain the training queue (VERDICT r2 items 4 & 6) so a brief relay
+# window isn't wasted waiting for a human.  Resumable: every run
+# checkpoints and retries with RESUME=true, so re-invocations after a
+# wedge continue from the latest checkpoint.  Marker = the 2-player
+# learning curves got plotted (requires real training progress).
+MB=$(python tools/pick_mb.py 2>/dev/null || echo 4)
+log "train session with NUM_MINIBATCHES=$MB"
+step runs/r3/train_session.log '2player curves saved' 13500 \
+  bash tools/train_session.sh "$MB" || exit 1
+
 if [ "$PENDING" -eq 0 ]; then
   log "queue complete — inspect runs/r3/ and update BASELINE.md"
 fi
