@@ -395,11 +395,14 @@ def kernel_selfcheck():
         partial(eng.process_messages_save_bidask, cfg_u, n_last=M_u),
         in_axes=(0, 0, 0)))(keys_u, m_u, b_u)
     prev_u = jnp.full((E_u, 2), 12_345, jnp.int32)
-    k_u, _, _ = pallas_process_step_aggs(
+    xua = jax.vmap(ffill_best_prices)(xua, prev_u[:, 0])
+    xub = jax.vmap(ffill_best_prices)(xub, prev_u[:, 1])
+    k_u, (kua, kub), _ = pallas_process_step_aggs(
         cfg_u, m_u, b_u, tids, prev_u, TICK, False, engine_keys=keys_u)
     for x, y in zip(jax.tree.leaves((xla_u.asks, xla_u.bids)),
                     jax.tree.leaves((k_u.asks, k_u.bids))):
         ok &= bool(jnp.array_equal(x, y))
+    ok &= bool(jnp.array_equal(xua, kua)) and bool(jnp.array_equal(xub, kub))
     import json as _json
     print(_json.dumps({"metric": "kernel_selfcheck_ok",
                        "value": 1.0 if ok else 0.0, "unit": "bool",

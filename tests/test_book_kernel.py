@@ -253,8 +253,11 @@ def _random_cancel_case(cfg):
     S = cfg.n_orders
     dense = np.full((S, 6), -1, np.int32)
     for i, oid in enumerate([500, 501, 502, 503, 504, 505]):
-        dense[i] = [1000, 10, oid, 7, 34200, i]
-    dense[6] = [990, 8, 510, 7, 34200, 6]
+        # alternate agent/non-agent owners so random-cancel picks and the
+        # crossing fill below involve the aggregate-mode trader ids
+        tid = AGENT_TIDS[0] if i % 2 == 0 else 7
+        dense[i] = [1000, 10, oid, tid, 34200, i]
+    dense[6] = [990, 8, 510, AGENT_TIDS[1], 34200, 6]
     bids = bk.side_from_dense(jnp.asarray(dense))
     adense = np.full((S, 6), -1, np.int32)
     adense[0] = [1010, 5, 600, 7, 34200, 0]
@@ -266,7 +269,9 @@ def _random_cancel_case(cfg):
     stream = np.stack([
         [2, 1, 5, 1000, 99999, 55, 34201, 0],   # stage-3: 6 candidates
         [2, 1, 5, 1000, 99998, 55, 34202, 0],   # stage-3 on the mutated book
-        [1, -1, 12, 995, 700, 66, 34203, 0],    # crossing ask -> trades
+        # crossing ask -> trades; aggressor = AGENT_TIDS[1] so BOTH agent
+        # ids are involved in fills (passive AGENT_TIDS[0] bids + this)
+        [1, -1, 12, 995, 700, AGENT_TIDS[1], 34203, 0],
         [2, 1, 50, 1000, 99997, 55, 34204, 0],  # quant > all -> stage-4 only
         [2, 1, 3, 990, 99996, 55, 34205, 0],    # single candidate
         [1, 1, 7, 998, 701, 66, 34206, 1],      # fresh bid limit
@@ -318,23 +323,23 @@ def test_random_cancel_agg_mode_matches_engine_summary():
     interpret = jax.default_backend() != "tpu"
     ab, (aa, abb), (per_agent, totals) = pallas_process_step_aggs(
         cfg, msgs, batched, tids, prev, TICK, interpret, engine_keys=keys)
-    # NOTE: run_xla uses PRNGKey(0)-derived keys; rerun the engine with the
-    # SAME keys as the kernel for the comparison
-    from functools import partial as _p
-    xla_book2, _ = jax.jit(jax.vmap(
-        _p(eng.process_messages_save_bidask, cfg, n_last=M),
-        in_axes=(0, 0, 0)))(keys, msgs, batched)
-    assert_books_equal(xla_book2, ab)
+    # run_xla derives its keys from PRNGKey(0) == `keys`, so xla_book is
+    # the same-randomness reference
+    assert_books_equal(xla_book, ab)
     got = summary_from_aggs(
         per_agent, jnp.broadcast_to(totals[:, None, :],
                                     (E, len(AGENT_TIDS), totals.shape[-1])))
     for k, tid in enumerate(AGENT_TIDS):
         want = jax.vmap(summarize_trades, in_axes=(0, None, None))(
-            xla_book2.trades, jnp.int32(tid), TICK)
+            xla_book.trades, jnp.int32(tid), TICK)
         for name, w, g in zip(want._fields, want,
                               jax.tree.map(lambda v: v[:, k], got)):
             np.testing.assert_array_equal(
                 np.asarray(w), np.asarray(g), err_msg=name)
+    # non-vacuous: the crossing sell fills agent-owned bids, so per-agent
+    # sums must be live for BOTH trader ids
+    assert int(np.asarray(got.agent_quant_abs)[:, 0].sum()) > 0
+    assert int(np.asarray(got.agent_quant_abs)[:, 1].sum()) > 0
     assert int(np.asarray(got.total_quant).sum()) > 0
 
 

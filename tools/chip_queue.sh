@@ -62,7 +62,9 @@ step runs/r3/bench_vit_16k.txt '"metric"' 1800 \
   python bench.py --envs 16384 --deadline 1680 || exit 1
 step runs/r3/profile_vit.txt 'MFLOP/env' 1800 \
   python tools/profile_vit.py --envs 8192 || exit 1
-step runs/r3/speed_test.txt "'n_exec': 10, 'n_data_msg': 1" 2400 \
+# NOTE trailing comma: "'n_data_msg': 1," must not prefix-match the
+# earlier "'n_data_msg': 100," row of a partially-completed grid
+step runs/r3/speed_test.txt "'n_exec': 10, 'n_data_msg': 1," 2400 \
   python -m vit_marl_tpu.eval.speed_test || exit 1
 for mb in 1 2 4; do
   step runs/r3/mb_$mb.txt 'env-steps/s (incl. compile)' 1800 \
@@ -79,11 +81,11 @@ step runs/r3/bench_vit_base.txt '"metric"' 1500 \
 # auto-chain the training queue (VERDICT r2 items 4 & 6) so a brief relay
 # window isn't wasted waiting for a human.  Resumable: every run
 # checkpoints and retries with RESUME=true, so re-invocations after a
-# wedge continue from the latest checkpoint.  Marker = the 2-player
-# learning curves got plotted (requires real training progress).
+# wedge continue from the latest checkpoint.  Marker = the final
+# Learned-vs-Baseline eval matrix landed (train_session's last stage).
 MB=$(python tools/pick_mb.py 2>/dev/null || echo 4)
 log "train session with NUM_MINIBATCHES=$MB"
-step runs/r3/train_session.log '2player curves saved' 13500 \
+step runs/r3/train_session.log 'eval matrix written' 13500 \
   bash tools/train_session.sh "$MB" || exit 1
 
 if [ "$PENDING" -eq 0 ]; then

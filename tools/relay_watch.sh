@@ -9,9 +9,13 @@ PROBE_TIMEOUT=${PROBE_TIMEOUT:-300}
 SLEEP=${SLEEP:-240}
 
 probe() {
-  timeout "$PROBE_TIMEOUT" python - <<'EOF' >/dev/null 2>&1
+  # NONCE: the axon relay dedupes executions with bit-identical inputs
+  # (CLAUDE.md gotcha 2) — a constant probe could be answered from cache
+  # by a wedged backend.  Fold the wall clock into the input so every
+  # probe is a genuinely fresh execution.
+  timeout "$PROBE_TIMEOUT" python - <<EOF >/dev/null 2>&1
 import jax, jax.numpy as jnp
-x = jnp.full((128, 128), 2.0)
+x = jnp.full((128, 128), 1.0 + ($(date +%s) % 86400) * 1e-6)
 assert float(jax.device_get(x @ x).sum()) > 0
 EOF
 }

@@ -52,4 +52,10 @@ timeout 1800 python -m vit_marl_tpu.evaluate --config configs/ippo_2player.yaml 
   --checkpoint-dir runs/r3_2player/ckpt --num-envs 256 --num-steps 50 \
   --out-dir runs/r3_2player/eval 2>&1 | tail -12
 
+# success marker for the resumable queue: only printed when the eval
+# matrix actually landed (chip_queue greps for this line)
+if [ -f runs/r3_2player/eval/combinations.json ]; then
+  log "eval matrix written"
+fi
+
 log "done — update BASELINE.md with the new numbers"

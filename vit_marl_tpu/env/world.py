@@ -23,7 +23,7 @@ from typing import Any, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from vit_marl_tpu.config import MultiAgentConfig, MsgCol
+from vit_marl_tpu.config import CancelMode, MultiAgentConfig, MsgCol
 from vit_marl_tpu.data.lobster import LoadedData
 from vit_marl_tpu.env import base as env_base
 from vit_marl_tpu.env.common import ffill_best_prices
@@ -333,7 +333,13 @@ class WorldEnv:
     def pallas_ok(self) -> bool:
         # every cancel mode is kernel-eligible: the random-cancel fallbacks
         # consume per-message uniforms computed from the same keys the XLA
-        # path would split (ops/book_kernel.py::_per_message_uniforms)
+        # path would split (ops/book_kernel.py::_per_message_uniforms).
+        # Exception: debug_mode + random cancels stays on the XLA path so
+        # the debug trade log keeps its historical exactness (the kernel's
+        # records path caps fills per message at REC_K).
+        if (self.wcfg.debug_mode
+                and self.wcfg.cancel_mode >= CancelMode.CANCEL_UNIFORM):
+            return False
         return (self.wcfg.n_orders % 8 == 0
                 and (jax.default_backend() == "tpu"
                      or self._force_pallas_interpret))
@@ -386,7 +392,9 @@ class WorldEnv:
             interp = self._force_pallas_interpret
             # the deterministic modes consume no randomness — keep their
             # call signature (and compiled program) unchanged
-            ekeys = (engine_keys if wcfg.cancel_mode >= 2 else None)
+            ekeys = (engine_keys
+                     if wcfg.cancel_mode >= CancelMode.CANCEL_UNIFORM
+                     else None)
             if wcfg.debug_mode:
                 # debug wants a full trade log: records path (fills per
                 # message capped at REC_K; counts expose truncation)

@@ -132,6 +132,10 @@ class MHA(nn.Module):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         if x.ndim == 2:
+            if n_tokens is None:
+                raise ValueError(
+                    "flat (B*N, W) rows need n_tokens= (the rows_2d "
+                    "layout cannot infer the token count from the shape)")
             N = n_tokens
             B, W = x.shape[0] // N, x.shape[1]
         else:
@@ -190,6 +194,10 @@ class Block(nn.Module):
 
         c = self.cfg
         if x.ndim == 2:
+            if n_tokens is None:
+                raise ValueError(
+                    "flat (B*N, W) rows need n_tokens= (the rows_2d "
+                    "layout cannot infer the token count from the shape)")
             N = n_tokens
             B, W = x.shape[0] // N, x.shape[1]
         else:
