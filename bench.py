@@ -52,7 +52,11 @@ def probe_backend(metric, timeout_s=240, unit="env-steps/s"):
         "from vit_marl_tpu.utils.cache import enable_compilation_cache\n"
         "enable_compilation_cache()\n"  # warm/share the persistent cache
         "import jax, jax.numpy as jnp\n"
-        "x = jnp.ones((256, 256), jnp.float32)\n"
+        # NONCE: the relay dedupes bit-identical executions — a constant
+        # probe could be answered from cache by a wedged backend
+        "import time as _t\n"
+        "x = jnp.full((256, 256), 1.0 + (_t.time() % 86400) * 1e-6,\n"
+        "             jnp.float32)\n"
         "print('probe ok', jax.devices()[0].platform,\n"
         "      float(jax.device_get((x @ x).sum())), flush=True)\n"
     )
