@@ -349,3 +349,42 @@ def test_random_cancel_mode_requires_keys():
     with pytest.raises(ValueError, match="engine keys"):
         pallas_process_step(cfg, msgs, batched, None,
                             jax.default_backend() != "tpu")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode,seed", [(2, 11), (3, 12)])
+def test_random_cancel_fuzz_sweep(mode, seed):
+    """Randomized mixed-stream differential for the random-cancel modes:
+    build_case traffic (limits/aggressives/cancels/noops, deep sweeps)
+    plus injected fallback-triggering cancels (bogus oid at live prices,
+    alternating stage-3-sized and stage-4-sized quants)."""
+    cfg = EngineConfig(n_orders=64, n_trades=4096, cancel_mode=mode)
+    E, M = ENV_BLOCK, 48
+    batched, msgs = build_case(cfg, E, M, seed=seed, percent_fill=0.5,
+                               deep_every=11, agent_every=5)
+    m = np.asarray(msgs).copy()
+    bid_prices = np.asarray(batched.bids.price)
+    for e in range(E):
+        live = bid_prices[e][bid_prices[e] > 0]
+        if len(live) == 0:
+            continue
+        for i in range(1, M, 4):
+            p = int(live[(e + i) % len(live)])
+            q = 2 if (i // 4) % 2 == 0 else 5_000_000
+            m[e, i] = [2, 1, q, p, 9_000_000 + i, 55, 34201 + i, 0]
+    msgs = jnp.asarray(m, jnp.int32)
+
+    xla_book, xa, xb, prev = run_xla(cfg, msgs, batched, M)
+    n_filled = (np.asarray(xla_book.trades)[:, :, 0] != -1).sum(axis=1)
+    assert n_filled.max() < cfg.n_trades
+    keys = jax.random.split(jax.random.PRNGKey(0), E)  # == run_xla's keys
+    interpret = jax.default_backend() != "tpu"
+    kbook, (ka, kb), (recs, counts) = pallas_process_step(
+        cfg, msgs, batched, prev, interpret, 64, engine_keys=keys)
+    assert_books_equal(xla_book, kbook)
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(ka))
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(kb))
+    trades = jax.vmap(finalize_trade_log_from_records)(
+        batched.trades, recs, msgs, counts)
+    np.testing.assert_array_equal(np.asarray(xla_book.trades),
+                                  np.asarray(trades))
