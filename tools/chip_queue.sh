@@ -72,6 +72,9 @@ for mb in 1 2 4; do
       --set NUM_MINIBATCHES=$mb --set TOTAL_TIMESTEPS=1.6e7 --timing \
       --set LOG_BACKEND=jsonl --set LOG_PATH=runs/r3/mb_$mb.jsonl || exit 1
 done
+# env-only throughput (no policy in the loop): the pure engine number
+step runs/r3/bench_none.txt '"metric"' 1200 \
+  python bench.py --policy none --envs 8192 --deadline 1080 || exit 1
 # model-family breadth: tiny and base presets at the same workload
 step runs/r3/bench_vit_tiny.txt '"metric"' 1500 \
   python bench.py --policy vit-tiny --envs 8192 --deadline 1380 || exit 1
