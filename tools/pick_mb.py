@@ -1,4 +1,4 @@
-"""Pick the NUM_MINIBATCHES winner from the runs/r3/mb_*.txt sweep.
+"""Pick the NUM_MINIBATCHES winner from the runs/r4/mb_*.txt sweep.
 
 Prints the mb value with the highest training throughput; falls back to 4
 (the round-2 setting) when no sweep artifact has a parseable number.
@@ -8,7 +8,7 @@ import glob
 import re
 
 best, best_mb = -1.0, 4
-for f in glob.glob("runs/r3/mb_*.txt"):
+for f in glob.glob("runs/r4/mb_*.txt"):
     m = re.search(r"mb_(\d+)", f)
     if not m:
         continue

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 training queue (VERDICT r2 items 4 and 6).  Run AFTER
+# Round-4 training queue (VERDICT r2 items 4 and 6).  Run AFTER
 # tools/chip_session.sh (the minibatch sweep there decides NUM_MINIBATCHES;
 # pass it as $1, default 4 = round-2 setting).
 #
@@ -8,7 +8,7 @@
 # un-checkpointed tail instead of the whole run.
 set -u
 MB=${1:-4}
-mkdir -p runs/r3_vision_simplest runs/r3_2player
+mkdir -p runs/r4_vision_simplest runs/r4_2player
 log() { echo "=== $(date +%H:%M:%S) $*"; }
 
 # run_training <timeout_s> <out_dir> <config> [extra --set args...]
@@ -27,34 +27,34 @@ run_training() {
 }
 
 log "A: learning THROUGH the ViT encoder (solvable simplest-case task)"
-run_training 3600 runs/r3_vision_simplest configs/ippo_vision_simplest.yaml
+run_training 3600 runs/r4_vision_simplest configs/ippo_vision_simplest.yaml
 
 python - <<'EOF'
 from vit_marl_tpu.eval.plotting import learning_curves
-learning_curves("runs/r3_vision_simplest/metrics.jsonl",
-                save_path="runs/r3_vision_simplest/learning_curves.png")
+learning_curves("runs/r4_vision_simplest/metrics.jsonl",
+                save_path="runs/r4_vision_simplest/learning_curves.png")
 print("vision-simplest curves saved")
 EOF
 
 log "B: 2-player rerun at reference scale on round-3 defaults"
-run_training 5400 runs/r3_2player configs/ippo_2player.yaml \
+run_training 5400 runs/r4_2player configs/ippo_2player.yaml \
   --set NUM_MINIBATCHES=$MB --set TOTAL_TIMESTEPS=1.2e8 --set EVAL_EVERY=10
 
 python - <<'EOF'
 from vit_marl_tpu.eval.plotting import learning_curves
-learning_curves("runs/r3_2player/metrics.jsonl",
-                save_path="runs/r3_2player/learning_curves.png")
+learning_curves("runs/r4_2player/metrics.jsonl",
+                save_path="runs/r4_2player/learning_curves.png")
 print("2player curves saved")
 EOF
 
 log "C: Learned-vs-Baseline combination matrix on the new checkpoint"
 timeout 1800 python -m vit_marl_tpu.evaluate --config configs/ippo_2player.yaml \
-  --checkpoint-dir runs/r3_2player/ckpt --num-envs 256 --num-steps 50 \
-  --out-dir runs/r3_2player/eval 2>&1 | tail -12
+  --checkpoint-dir runs/r4_2player/ckpt --num-envs 256 --num-steps 50 \
+  --out-dir runs/r4_2player/eval 2>&1 | tail -12
 
 # success marker for the resumable queue: only printed when the eval
 # matrix actually landed (chip_queue greps for this line)
-if [ -f runs/r3_2player/eval/combinations.json ]; then
+if [ -f runs/r4_2player/eval/combinations.json ]; then
   log "eval matrix written"
 fi
 
