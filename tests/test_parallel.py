@@ -205,3 +205,79 @@ def test_initialize_distributed_single_process_noop():
 
     initialize_distributed()  # must not raise in a single-process run
     assert jax.process_count() == 1
+
+
+def test_two_process_dcn_update(tmp_path):
+    """True multi-host seam: TWO OS processes join via
+    ``initialize_distributed`` over a localhost coordinator, build the
+    hybrid ``(dcn_data=2, data=4)`` mesh with ``make_hybrid_mesh`` and run
+    one sharded IPPO update; the updated params must match a
+    single-process run on an identically-shaped ``(2, 4)`` mesh.
+
+    This is the test the degenerate single-host cases can't provide: it
+    fails if ``initialize_distributed`` stops forming the cluster, if
+    ``make_hybrid_mesh`` mis-groups devices across processes, or if the
+    cross-process gradient all-reduce regresses.
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordination service
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_"))}
+    env.pop("TPU_WORKER_HOSTNAMES", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(repo, "tests", "dcn_worker.py")
+    out_npz = str(tmp_path / "proc0.npz")
+
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coordinator, "2", str(pid), out_npz],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"worker {pid}: OK" in out
+
+    # single-process golden on the same logical (2, 4) partitioning
+    from vit_marl_tpu.config import MarketMakingConfig as MM
+
+    wcfg = WorldConfig(n_data_msg_per_step=2, ep_type="fixed_steps",
+                       episode_time=4, start_resolution=4,
+                       n_messages_per_synthetic_day=300)
+    ma = MultiAgentConfig(world=wcfg, agents=(MM(),), n_agents_per_type=(1,))
+    tc = TrainConfig(num_envs=8, num_steps=2, num_minibatches=1,
+                     update_epochs=1, total_timesteps=16, network="gru",
+                     hidden_size=32, fc_dim=32, log_backend="none",
+                     rollout_mode="scan")
+    mesh = make_mesh((2, 4), ("dcn_data", "data"))
+    out = make_train(ma, tc, mesh=mesh)(KEY)
+    golden = jax.tree.leaves(out["runner_state"][0][0].params)
+
+    got = np.load(str(out_npz))
+    assert len(golden) == len([k for k in got.files if k.startswith("p")])
+    for i, g in enumerate(golden):
+        np.testing.assert_allclose(
+            got[f"p{i}"], np.asarray(jax.device_get(g)),
+            rtol=2e-5, atol=1e-6,
+            err_msg=f"param leaf {i} diverged between 2-process and "
+                    f"single-process runs")
+    assert np.isfinite(got["actor_loss"]).all()

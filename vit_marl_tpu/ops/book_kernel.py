@@ -195,9 +195,18 @@ def _make_kernel(cfg: EngineConfig, n_msgs: int, n_slots: int,
                     total = jnp.sum(w, axis=0, keepdims=True)
                     uu = u_raw * jnp.maximum(total, 1.0)
                     cdf = _prefix_sum(w)
-                    pick = _first_idx(cdf > uu, S)
-                    chosen = jnp.sum(jnp.where(iota == pick, Yo, 0),
-                                     axis=0, keepdims=True)
+                    hit = cdf > uu
+                    # f32 corner: u*total can round UP to total (u = largest
+                    # f32 < 1, power-of-two candidate count), making `hit`
+                    # all-False.  The engine's argmax then yields slot 0 and
+                    # its masked-ids read gives ids[0] (= oid if slot 0 is a
+                    # candidate, else 0 -> no-op); mirror those semantics
+                    # exactly instead of _first_idx's silent S default.
+                    pick = jnp.where(jnp.any(hit, axis=0, keepdims=True),
+                                     _first_idx(hit, S), 0)
+                    chosen = jnp.sum(
+                        jnp.where((iota == pick) & cand, Yo, 0),
+                        axis=0, keepdims=True)
                     idx = _first_idx((Yo == chosen) & occ_y0, S)
                     return jnp.where(total > 0, idx, S)
 

@@ -222,7 +222,10 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
             init_x = (_dummy_obs(env.observation_spaces[i], cfg.num_envs),
                       jnp.zeros((1, cfg.num_envs)))
             init_h = ScannedGRU.initialize_carry(cfg.num_envs, cfg.hidden_size)
-            params = network.init(_rng, init_h, init_x)
+            # jitted: un-jitted flax init runs op-by-op and compiles every
+            # initializer separately (~10s+ of tiny XLA compiles on a cold
+            # cache); one jit collapses it into a single small compile
+            params = jax.jit(network.init)(_rng, init_h, init_x)
             lr_i = _per_type(cfg.lr, i)
             if cfg.anneal_lr:
                 lr_fn = functools.partial(linear_schedule, lr_i)
