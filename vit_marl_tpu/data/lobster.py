@@ -194,6 +194,14 @@ class LobsterLoader:
                 f"{self.cfg.stock}/{self.cfg.time_period}")
         with ThreadPoolExecutor(max_workers=min(8, len(pairs))) as ex:
             days = [d for d in ex.map(self._load_one, pairs) if d is not None]
+        # a day can be empty AFTER filtering (halted day, all rows outside
+        # trading hours): skip it — zero-message days have no windows
+        days = [(m, b) for m, b in days if len(m)]
+        if not days:
+            raise ValueError(
+                f"all {len(pairs)} day file pair(s) under {self.cfg.data_path}"
+                f"/{self.cfg.stock}/{self.cfg.time_period} were empty after "
+                f"trading-hours/type filtering")
 
         all_msgs, all_starts, all_ends, all_books = [], [], [], []
         offset = 0
