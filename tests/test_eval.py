@@ -101,3 +101,29 @@ def test_rollout_greedy_vs_sample_modes():
     with pytest.raises(ValueError, match="mode"):
         rollout(env, params, pols, num_envs=3, num_steps=5, rng=KEY,
                 mode="argmax")
+
+
+def test_episode_report_full_figure_set(tmp_path):
+    """episode_report writes the reference-parity figure set (rewards,
+    actions, per-feature info, world prices) from a rollout traj
+    (ref: plotting_episodes.py:309-513)."""
+    import os
+
+    from vit_marl_tpu.eval.plotting import episode_report
+
+    env = make_env()
+    params = env.default_params
+    pols = [FixedActionPolicy(1, n_actions=env.action_spaces[0].n),
+            FixedActionPolicy(0, n_actions=env.action_spaces[1].n)]
+    traj = rollout(env, params, pols, num_envs=3, num_steps=5, rng=KEY)
+    assert "actions" in traj and "world_infos" in traj
+
+    files = episode_report(traj, str(tmp_path / "ep"), env_indices=(0, 2),
+                           agent_names=("MM", "EXE"))
+    names = {os.path.basename(f) for f in files}
+    assert "rewards.png" in names
+    assert "actions.png" in names
+    assert "world.png" in names
+    assert any(n.startswith("info_") for n in names), names
+    for f in files:
+        assert os.path.getsize(f) > 0

@@ -63,9 +63,11 @@ def rollout(env: WorldEnv, params, policies: Sequence, num_envs: int,
             for i in range(n_types)]
         out = {
             "rewards": rewards,
+            "actions": list(actions),
             "dones": dones_d["__all__"],
             "agent_infos": [dict(infos["agents"][i])
                             for i in range(n_types)],
+            "world_infos": dict(infos["world"]),
         }
         return (rng, state, obs, new_dones, new_h), out
 

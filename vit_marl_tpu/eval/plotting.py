@@ -131,3 +131,142 @@ def learning_curves(metrics_jsonl: str, save_path: Optional[str] = None,
     if save_path:
         fig.savefig(save_path, dpi=120)
     return fig
+
+
+def _per_env_series(arr: np.ndarray, env_index: int) -> np.ndarray:
+    """(T, num_envs, ...) -> (T, flattened-rest) for one env; (T,) passes
+    through. Returns None for series too wide to plot (>8 lines)."""
+    a = np.asarray(arr)
+    if a.ndim == 1:
+        a = a[:, None]
+    else:
+        a = a[:, env_index].reshape(a.shape[0], -1)
+    return a if a.shape[1] <= 8 else None
+
+
+def episode_report(traj: dict, out_dir: str,
+                   env_indices: Sequence[int] = (0,),
+                   agent_names: Optional[Sequence[str]] = None) -> list:
+    """Full per-episode analysis figure set for a combination rollout
+    (ref: plotting_episodes.py:309-513 ``plot_episode_features``):
+
+    - ``rewards.png``    — per-env subplots, one line per agent type;
+    - ``actions.png``    — per-env x per-type grid (action dims as lines);
+    - ``info_<key>.png`` — per-env subplots for every scalar agent-info
+      feature (quant_left, inventory, PnL, ...), lines per agent type;
+    - ``world.png``      — per-env mid price / best bid / best ask.
+
+    ``traj`` is the dict returned by :func:`combinations.rollout` (it must
+    carry ``actions`` and ``world_infos``; older trajs degrade gracefully).
+    Returns the list of files written.
+    """
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    n_types = len(traj["rewards"])
+    names = list(agent_names or [f"type{i}" for i in range(n_types)])
+    n_env = len(env_indices)
+    cmap = plt.get_cmap("viridis", max(n_types, 2))
+
+    def _grid(n_rows, n_cols=1, w=9, h=3):
+        fig, axes = plt.subplots(n_rows, n_cols,
+                                 figsize=(w * n_cols, h * n_rows),
+                                 sharex=True, squeeze=False)
+        return fig, axes
+
+    # ---- rewards ---------------------------------------------------------
+    fig, axes = _grid(n_env)
+    for r, e in enumerate(env_indices):
+        for i in range(n_types):
+            s = _per_env_series(traj["rewards"][i], e)
+            if s is None:
+                continue
+            for c in range(s.shape[1]):
+                axes[r, 0].plot(s[:, c], color=cmap(i),
+                                label=names[i] if c == 0 else None)
+        axes[r, 0].set_title(f"env {e} rewards")
+        axes[r, 0].grid(True, alpha=0.3)
+        axes[r, 0].legend(frameon=False, fontsize=8)
+    axes[-1, 0].set_xlabel("step")
+    fig.tight_layout()
+    path = os.path.join(out_dir, "rewards.png")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    written.append(path)
+
+    # ---- actions ---------------------------------------------------------
+    if "actions" in traj:
+        fig, axes = _grid(n_env, n_types, w=6)
+        for r, e in enumerate(env_indices):
+            for i in range(n_types):
+                s = _per_env_series(traj["actions"][i], e)
+                ax = axes[r, i]
+                if s is not None:
+                    for c in range(s.shape[1]):
+                        ax.plot(s[:, c], label=f"dim {c}" if s.shape[1] > 1
+                                else None)
+                    if s.shape[1] > 1:
+                        ax.legend(frameon=False, fontsize=7)
+                ax.set_title(f"env {e} {names[i]} actions")
+                ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        path = os.path.join(out_dir, "actions.png")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        written.append(path)
+
+    # ---- per-feature agent info -----------------------------------------
+    keys = sorted({k for inf in traj["agent_infos"] for k in inf})
+    for key in keys:
+        fig, axes = _grid(n_env)
+        any_line = False
+        for r, e in enumerate(env_indices):
+            for i in range(n_types):
+                if key not in traj["agent_infos"][i]:
+                    continue
+                s = _per_env_series(traj["agent_infos"][i][key], e)
+                if s is None:
+                    continue
+                for c in range(s.shape[1]):
+                    axes[r, 0].plot(s[:, c], color=cmap(i),
+                                    label=names[i] if c == 0 else None)
+                    any_line = True
+            axes[r, 0].set_title(f"env {e} {key}")
+            axes[r, 0].grid(True, alpha=0.3)
+            axes[r, 0].legend(frameon=False, fontsize=8)
+        axes[-1, 0].set_xlabel("step")
+        fig.tight_layout()
+        if any_line:
+            path = os.path.join(out_dir, f"info_{key}.png")
+            fig.savefig(path, dpi=110)
+            written.append(path)
+        plt.close(fig)
+
+    # ---- world features (price trajectories) ----------------------------
+    world = traj.get("world_infos") or {}
+    wkeys = [k for k in ("end_mid_price", "average_best_bid",
+                         "average_best_ask") if k in world]
+    wkeys += sorted(k for k in world
+                    if k not in wkeys and np.asarray(world[k]).ndim <= 2)
+    if wkeys:
+        fig, axes = _grid(n_env)
+        for r, e in enumerate(env_indices):
+            for k in wkeys[:6]:
+                s = _per_env_series(world[k], e)
+                if s is not None:
+                    axes[r, 0].plot(s[:, 0], label=k)
+            axes[r, 0].set_title(f"env {e} world")
+            axes[r, 0].grid(True, alpha=0.3)
+            axes[r, 0].legend(frameon=False, fontsize=8)
+        axes[-1, 0].set_xlabel("step")
+        fig.tight_layout()
+        path = os.path.join(out_dir, "world.png")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        written.append(path)
+    return written

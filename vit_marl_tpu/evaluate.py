@@ -31,6 +31,9 @@ def main():
     p.add_argument("--num-steps", type=int, default=50)
     p.add_argument("--out-dir", default="eval_out")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--episode-plot-envs", type=int, default=2,
+                   help="number of envs to draw per-episode analysis "
+                        "figures for (per L/B combo)")
     p.add_argument("--greedy", action="store_true",
                    help="take distribution modes instead of sampling "
                         "(default samples, matching the reference eval — "
@@ -50,7 +53,11 @@ def main():
         RandomPolicy,
     )
     from vit_marl_tpu.eval.combinations import evaluate_combinations
-    from vit_marl_tpu.eval.plotting import combination_heatmap, triangular_plot
+    from vit_marl_tpu.eval.plotting import (
+        combination_heatmap,
+        episode_report,
+        triangular_plot,
+    )
     from vit_marl_tpu.models.rnn import ScannedGRU
     from vit_marl_tpu.rl.ppo import make_network
     from vit_marl_tpu.utils.cache import enable_compilation_cache
@@ -118,6 +125,14 @@ def main():
         triangular_plot(
             results, i,
             save_path=os.path.join(args.out_dir, f"triangular_{names[i]}.png"))
+    # per-episode analysis figures for every L/B combination
+    # (ref: plotting_episodes.py per-combo trajectory suite)
+    n_ep_envs = min(args.num_envs, args.episode_plot_envs)
+    for combo, r in results.items():
+        files = episode_report(
+            r["traj"], os.path.join(args.out_dir, f"episodes_{combo}"),
+            env_indices=range(n_ep_envs), agent_names=names)
+        print(f"episode figures [{combo}]: {len(files)} written")
     print(json.dumps(summary, indent=2))
     print(f"wrote {args.out_dir}/combinations.json + plots")
     return results
