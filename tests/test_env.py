@@ -183,6 +183,36 @@ class TestActionSpaces:
         # quantity placed in the book or executed
         assert int(s2.agents[1].quant_executed[0]) >= 0
 
+    @pytest.mark.parametrize("aggressive", [False, True])
+    def test_exec_policy_blending_aggressive_flag(self, aggressive):
+        """Default: all 3 blend orders passive at own-side levels (ref:
+        vision_env.py:1426-1534). blend_aggressive (documented divergence):
+        level 1 crosses to the far touch so fills exist at short horizons;
+        levels 2-3 stay passive."""
+        env = make_env(agents=(
+            MarketMakingConfig(),
+            ExecutionConfig(action_space="policy_blending",
+                            observation_space="execution_policy",
+                            reward_space="dual_ppo", task="buy",
+                            blend_aggressive=aggressive)))
+        params = env.default_params
+        _, state = env.reset(KEY, params)
+        agent = env.agent_types[1]
+        st = jax.tree.map(lambda v: v[0], state.agents[1])
+        world = state.world
+        from vit_marl_tpu.lob import book as bk
+        best_ask, best_bid = bk.best_bid_and_ask(
+            agent.wcfg, world.asks, world.bids)
+        msgs = np.asarray(agent.get_action_msgs(
+            jnp.array([2.0, 2.0, 2.0], jnp.float32), world, st,
+            jax.tree.map(lambda v: v[0], params.agents[1])))
+        if aggressive:
+            assert msgs[0, 3] == int(best_ask)   # buy L1 crosses the spread
+        else:
+            assert msgs[0, 3] == int(best_bid)   # buy L1 passive at the bid
+            assert msgs[1, 3] <= int(best_bid)   # deeper levels passive
+        assert (msgs[:3, 1] == 1).all()          # buy side
+
 
 class TestVisionObs:
     def test_vision_obs_dict(self):

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from vit_marl_tpu.rl.sweep import run_sweep
 
 
@@ -29,3 +31,93 @@ def test_run_sweep(tmp_path):
     rows = [json.loads(l) for l in open(out_path)]
     assert len(rows) == 2
     assert all("final_metrics" in r for r in rows)
+
+
+def test_grid_to_wandb_sweep_shape():
+    """Dotted grid -> nested wandb sweep config, the reference's shape
+    (ref: ippo_rnn_JAXMARL.py:952-984)."""
+    from vit_marl_tpu.rl.sweep import grid_to_wandb_sweep
+
+    cfg = grid_to_wandb_sweep({
+        "LR": [1e-4, 2.5e-4],
+        "AGENT_CONFIGS.MarketMaking.REWARD_SPACE": ["spooner"],
+        "AGENT_CONFIGS.Execution.TASK_SIZE": [600],
+    })
+    assert cfg["method"] == "grid"
+    p = cfg["parameters"]
+    assert p["LR"] == {"values": [1e-4, 2.5e-4]}
+    mm = p["AGENT_CONFIGS"]["parameters"]["MarketMaking"]["parameters"]
+    assert mm["REWARD_SPACE"] == {"values": ["spooner"]}
+    ex = p["AGENT_CONFIGS"]["parameters"]["Execution"]["parameters"]
+    assert ex["TASK_SIZE"] == {"values": [600]}
+
+
+def test_run_wandb_sweep_with_stubbed_service(monkeypatch, tmp_path):
+    """run_wandb_sweep registers the sweep and each agent trial applies the
+    service-assigned (nested) overrides before training. wandb itself is
+    stubbed — the orchestration seam is what's under test."""
+    import sys
+    import types
+
+    from vit_marl_tpu.rl import sweep as sweep_mod
+
+    calls = {}
+
+    class FakeRun:
+        config = {"LR": 1e-3,
+                  "AGENT_CONFIGS": {"Execution": {"TASK_SIZE": 7}},
+                  "_wandb": {"internal": True}}
+
+        def finish(self):
+            calls["finished"] = True
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: FakeRun()
+    fake.log = lambda d: calls.setdefault("logged", d)
+
+    def fake_sweep(sweep, project, entity):
+        calls["sweep_cfg"] = sweep
+        return "sweep123"
+
+    def fake_agent(sweep_id, function, count):
+        calls["sweep_id"] = sweep_id
+        function()          # one trial
+
+    fake.sweep = fake_sweep
+    fake.agent = fake_agent
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    seen = {}
+
+    def fake_make_train(ma, tc):
+        seen["lr"] = tc.lr
+        seen["task_size"] = ma.agents[0].task_size
+        return lambda key: {"metrics": [{"MM/mean_reward": 1.0}]}
+
+    monkeypatch.setattr(sweep_mod, "make_train", fake_make_train)
+
+    base = {"NUM_ENVS": 4, "NUM_STEPS": 4, "TOTAL_TIMESTEPS": 16}
+    sid = sweep_mod.run_wandb_sweep(
+        base, {"LR": [1e-3], "AGENT_CONFIGS.Execution.TASK_SIZE": [7]})
+    assert sid == "sweep123"
+    assert calls["sweep_cfg"]["parameters"]["LR"] == {"values": [1e-3]}
+    assert seen["lr"] == 1e-3 and seen["task_size"] == 7
+    assert calls["logged"] == {"MM/mean_reward": 1.0}
+    assert calls["finished"]
+
+
+def test_run_wandb_sweep_without_wandb_raises(monkeypatch):
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_wandb(name, *a, **kw):
+        if name == "wandb":
+            raise ImportError("no wandb")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_wandb)
+    from vit_marl_tpu.rl.sweep import run_wandb_sweep
+
+    with pytest.raises(RuntimeError, match="run_sweep"):
+        run_wandb_sweep({}, {"LR": [1e-4]})

@@ -254,6 +254,14 @@ class ExecutionConfig:
     mimic_alpha: float = 0.5         # weight of the TWAP-mimic reward term
     vision_levels: int = 10          # book-image level count
     use_vision_obs: bool = False     # emit {obs, vision_obs} dict observations
+    # policy_blending only. The reference places ONLY passive orders at the
+    # top-3 own-side levels (vision_env.py:1426-1534), so at short horizons
+    # almost nothing fills and the episode-end doom trade dominates the
+    # dual_ppo reward — r_comp carries no gradient (the reference never
+    # trained this path: '# FIXME: APPLY VISION'). With this DIVERGENCE
+    # flag on, blend level 1 crosses the spread (far touch) so fills — and
+    # hence r_comp gradient — exist at any horizon; levels 2-3 stay passive.
+    blend_aggressive: bool = False
 
     @property
     def num_action_messages(self) -> int:

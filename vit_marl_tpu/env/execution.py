@@ -301,23 +301,35 @@ class ExecutionAgent:
         return self._make_msgs(world, state, params_i, quants, prices)
 
     def _action_policy_blending(self, action, world, state, params_i):
-        """Continuous dual-PPO blend over the top-3 passive levels
-        (ref: vision_env.py:1426-1534)."""
+        """Continuous dual-PPO blend over the top-3 levels
+        (ref: vision_env.py:1426-1534).
+
+        Default (reference-faithful): all three orders are PASSIVE at the
+        own-side top-3 levels.  With ``cfg.blend_aggressive`` (documented
+        divergence, see config.py): level 1 is the FAR TOUCH — it crosses
+        the spread and fills immediately, giving the dual_ppo ``r_comp``
+        term gradient at short horizons where passive orders rarely fill.
+        """
         tick = self.wcfg.tick_size
         l2 = bk.get_vision_l2_state(self.wcfg, 3, world.asks, world.bids)
         ask_prices = l2[:, 0, 0]
         bid_prices = l2[:, 0, 1]
+        aggressive = self.cfg.blend_aggressive
 
         def buy_prices():
-            p1 = bid_prices[0]
-            p2 = jnp.where(bid_prices[1] != -1, bid_prices[1], p1 - tick)
-            p3 = jnp.where(bid_prices[2] != -1, bid_prices[2], p2 - tick)
+            p1 = ask_prices[0] if aggressive else bid_prices[0]
+            q2 = bid_prices[0] if aggressive else bid_prices[1]
+            p2 = jnp.where(q2 != -1, q2, p1 - tick)
+            q3 = bid_prices[1] if aggressive else bid_prices[2]
+            p3 = jnp.where(q3 != -1, q3, p2 - tick)
             return jnp.stack([p1, p2, p3]).astype(jnp.int32)
 
         def sell_prices():
-            p1 = ask_prices[0]
-            p2 = jnp.where(ask_prices[1] != -1, ask_prices[1], p1 + tick)
-            p3 = jnp.where(ask_prices[2] != -1, ask_prices[2], p2 + tick)
+            p1 = bid_prices[0] if aggressive else ask_prices[0]
+            q2 = ask_prices[0] if aggressive else ask_prices[1]
+            p2 = jnp.where(q2 != -1, q2, p1 + tick)
+            q3 = ask_prices[1] if aggressive else ask_prices[2]
+            p3 = jnp.where(q3 != -1, q3, p2 + tick)
             return jnp.stack([p1, p2, p3]).astype(jnp.int32)
 
         prices3 = jax.lax.cond(state.is_sell_task, sell_prices, buy_prices)

@@ -59,3 +59,78 @@ def run_sweep(base_raw: Dict[str, Any], grid: Dict[str, List[Any]],
                 f.write(json.dumps(row) + "\n")
         print(f"sweep {overrides}: done in {row['wall_seconds']}s")
     return results
+
+
+# --------------------------------------------------------------------------
+# wandb sweep-service orchestration (ref: ippo_rnn_JAXMARL.py:952-993)
+# --------------------------------------------------------------------------
+
+def grid_to_wandb_sweep(grid: Dict[str, List[Any]],
+                        method: str = "grid") -> Dict[str, Any]:
+    """Translate a dotted-key grid into a wandb sweep config.
+
+    ``{"LR": [...], "AGENT_CONFIGS.MarketMaking.REWARD_SPACE": [...]}``
+    becomes the nested ``parameters:`` tree the wandb sweep service expects
+    (dotted segments -> nested ``{"parameters": {...}}`` levels, leaves ->
+    ``{"values": [...]}``), matching the reference's hand-written shape
+    (ref: ippo_rnn_JAXMARL.py:952-984).
+    """
+    parameters: Dict[str, Any] = {}
+    for key, values in grid.items():
+        node = parameters
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {}).setdefault("parameters", {})
+        node[parts[-1]] = {"values": list(values)}
+    return {"method": method, "parameters": parameters}
+
+
+def _flatten_wandb_config(node: Any, prefix: str = "") -> Dict[str, Any]:
+    """wandb hands the agent a (possibly nested) config mapping; flatten it
+    back to dotted override keys."""
+    out: Dict[str, Any] = {}
+    if hasattr(node, "items"):
+        for k, v in node.items():
+            if k.startswith("_"):        # wandb bookkeeping keys
+                continue
+            key = f"{prefix}.{k}" if prefix else str(k)
+            if hasattr(v, "items"):
+                out.update(_flatten_wandb_config(v, key))
+            else:
+                out[key] = v
+    return out
+
+
+def run_wandb_sweep(base_raw: Dict[str, Any], grid: Dict[str, List[Any]],
+                    project: str = "vit-marl-tpu",
+                    entity: Optional[str] = None, count: int = 500,
+                    method: str = "grid", seed: int = 0) -> str:
+    """Register the grid with the wandb sweep service and run the agent
+    loop (ref: ippo_rnn_JAXMARL.py:989-993 ``wandb.sweep``/``wandb.agent``).
+
+    Each agent trial applies the service-assigned overrides to the base
+    config and runs one training. Requires the ``wandb`` package and
+    network access to the service; use :func:`run_sweep` (local grid) when
+    offline. Returns the sweep id.
+    """
+    try:
+        import wandb
+    except ImportError as e:
+        raise RuntimeError(
+            "run_wandb_sweep needs the wandb package; use run_sweep for "
+            "the offline local grid") from e
+
+    def trial():
+        run = wandb.init()
+        raw = copy.deepcopy(base_raw)
+        for k, v in _flatten_wandb_config(run.config).items():
+            _set_dotted(raw, k, v)
+        ma_config, train_config = make_config(raw)
+        out = make_train(ma_config, train_config)(jax.random.PRNGKey(seed))
+        wandb.log({k: float(v) for k, v in out["metrics"][-1].items()})
+        run.finish()
+
+    sweep_id = wandb.sweep(sweep=grid_to_wandb_sweep(grid, method),
+                           project=project, entity=entity)
+    wandb.agent(sweep_id, function=trial, count=count)
+    return sweep_id
