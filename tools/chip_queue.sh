@@ -108,7 +108,7 @@ step runs/r4/bench_vit_base.txt '"metric"' 1500 \
 # Learned-vs-Baseline eval matrix landed (train_session's last stage).
 MB=$(python tools/pick_mb.py 2>/dev/null || echo 4)
 log "train session with NUM_MINIBATCHES=$MB"
-step runs/r4/train_session.log 'eval matrix written' 13500 \
+step runs/r4/train_session.log "eval matrix written" 16200 \
   bash tools/train_session.sh "$MB" || exit 1
 
 if [ "$PENDING" -eq 0 ]; then

@@ -52,6 +52,20 @@ timeout 1800 python -m vit_marl_tpu.evaluate --config configs/ippo_2player.yaml 
   --checkpoint-dir runs/r4_2player/ckpt --num-envs 256 --num-steps 50 \
   --out-dir runs/r4_2player/eval 2>&1 | tail -12
 
+log "D: dual_ppo exec with blend_aggressive (VERDICT r3 item 6: does the"
+log "   far-touch lever un-flatten the exec KL/reward curve?)"
+mkdir -p runs/r4_vision_blend
+run_training 3600 runs/r4_vision_blend configs/ippo_vision_dual_ppo.yaml \
+  --set AGENT_CONFIGS.Execution.BLEND_AGGRESSIVE=true --set NUM_ENVS=1024 \
+  --set TOTAL_TIMESTEPS=2.0e7
+
+python - <<'EOF'
+from vit_marl_tpu.eval.plotting import learning_curves
+learning_curves("runs/r4_vision_blend/metrics.jsonl",
+                save_path="runs/r4_vision_blend/learning_curves.png")
+print("vision-blend curves saved")
+EOF
+
 # success marker for the resumable queue: only printed when the eval
 # matrix actually landed (chip_queue greps for this line)
 if [ -f runs/r4_2player/eval/combinations.json ]; then

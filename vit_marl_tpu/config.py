@@ -415,11 +415,16 @@ class TrainConfig:
 # --------------------------------------------------------------------------
 
 
-def _merge_dataclass(obj, overrides: Dict[str, Any]):
+def _merge_dataclass(obj, overrides: Dict[str, Any],
+                     strict_label: Optional[str] = None,
+                     extra_allowed: frozenset = frozenset()):
     """Return a copy of dataclass ``obj`` with matching keys replaced.
 
     Keys are matched case-insensitively against field names, mirroring the
     reference's lowercased-key YAML merge (ref: ippo_rnn_JAXMARL.py:144-163).
+    With ``strict_label`` set, keys that match no field (and are not in
+    ``extra_allowed``) raise instead of being silently dropped — a typo'd
+    override that does nothing is worse than an error.
     """
     fields = {f.name.lower(): f.name for f in dataclasses.fields(obj)}
     kwargs = {}
@@ -427,6 +432,11 @@ def _merge_dataclass(obj, overrides: Dict[str, Any]):
         name = fields.get(key.lower())
         if name is not None:
             kwargs[name] = val
+        elif strict_label and key.lower() not in extra_allowed:
+            raise ValueError(
+                f"unknown config key {key!r} in {strict_label} (no such "
+                f"field on {type(obj).__name__}; known fields: "
+                f"{sorted(fields.values())})")
     return dataclasses.replace(obj, **kwargs) if kwargs else obj
 
 
@@ -449,15 +459,20 @@ def make_config(raw: Optional[Dict[str, Any]] = None) -> Tuple[MultiAgentConfig,
          "Execution": {...}}, "NUM_AGENTS_PER_TYPE": [1, 1], ...train keys}
     """
     raw = dict(raw or {})
-    world = _merge_dataclass(WorldConfig(), raw.get("WORLD", {}))
+    world = _merge_dataclass(WorldConfig(), raw.get("WORLD", {}),
+                             strict_label="WORLD")
     agent_cfgs: List[AgentConfig] = []
     agents_raw = raw.get("AGENT_CONFIGS", {"MarketMaking": {}, "Execution": {}})
     for kind, overrides in agents_raw.items():
         cls = _AGENT_KINDS[kind.lower().replace(" ", "")]
-        agent_cfgs.append(_merge_dataclass(cls(), overrides or {}))
+        agent_cfgs.append(_merge_dataclass(
+            cls(), overrides or {}, strict_label=f"AGENT_CONFIGS.{kind}"))
     n_per_type = tuple(raw.get("NUM_AGENTS_PER_TYPE", [1] * len(agent_cfgs)))
     ma = MultiAgentConfig(world=world, agents=tuple(agent_cfgs), n_agents_per_type=n_per_type)
-    train = _merge_dataclass(TrainConfig(), raw)
+    train = _merge_dataclass(
+        TrainConfig(), raw, strict_label="top level",
+        extra_allowed=frozenset(
+            {"world", "agent_configs", "num_agents_per_type"}))
     return ma, train
 
 

@@ -48,7 +48,23 @@ def main():
                 and "e" not in val.lower() else num
         except ValueError:
             parsed = yaml.safe_load(val)
-        raw[key.upper()] = parsed
+        # dotted keys reach nested sections, e.g.
+        # --set AGENT_CONFIGS.Execution.BLEND_AGGRESSIVE=true
+        # Segments match existing YAML keys case-insensitively (a CLI
+        # "EXECUTION" must merge into the file's "Execution" section, not
+        # create a second agent). make_config is strict: unknown keys
+        # raise instead of silently doing nothing.
+        parts = key.split(".")
+        node = raw
+        for p in parts[:-1]:
+            match = next((k for k in node if k.lower() == p.lower()), None)
+            if match is None or not isinstance(node[match], dict):
+                match = p.upper()
+                node[match] = {}
+            node = node[match]
+        last = next((k for k in node if k.lower() == parts[-1].lower()),
+                    parts[-1].upper())
+        node[last] = parsed
 
     ma_config, train_config = make_config(raw)
     if args.seed is not None:
