@@ -120,6 +120,10 @@ def main():
                    help="use the fused block-half kernels "
                         "(ops/block_kernel.py: LN1+QKV and "
                         "proj+residual+LN2+MLP+residual)")
+    p.add_argument("--attn-kernel", action="store_true",
+                   help="use the fused short-seq attention kernel "
+                        "(ops/attention_kernel.py) in ViT blocks for the "
+                        "A/B against the XLA broadcast-reduce attention")
     p.add_argument("--deadline", type=float, default=1500.0,
                    help="hard wall-clock budget (s); on expiry an error "
                         "JSON line is printed and the process exits, so a "
@@ -156,6 +160,16 @@ def main():
             args.fused_mlp = False
         else:
             fused_tag = ",fused"
+    if vit_measured and args.attn_kernel:
+        from vit_marl_tpu.ops.attention_kernel import attention_ok
+        if not attention_ok(args.envs * 11, 11):
+            print(f"WARNING: envs={args.envs} is not a multiple of the "
+                  "attention kernel's env block (64); the kernel cannot "
+                  "engage — measuring (and labeling) the XLA path.",
+                  file=sys.stderr)
+            args.attn_kernel = False
+        else:
+            fused_tag += ",attnkernel"
     preset = {"none": "small", "gru": "small", "vit-tiny": "tiny",
               "vit-small": "small", "vit-base": "base"}[args.policy]
     if args.vit_images:
@@ -240,7 +254,8 @@ def main():
             network=("gru", "vit_gru") if use_vision else ("gru", "gru"),
             vit_preset=preset,
             vit_fused_mlp=args.fused_mlp,
-            vit_fused_block=args.fused_block)
+            vit_fused_block=args.fused_block,
+            vit_attn_kernel=args.attn_kernel)
         nets, net_params, hs = [], [], []
         for i in range(n_types):
             net = make_network(tc, i, env.action_spaces[i],
@@ -438,9 +453,11 @@ def bench_vit_images(args, preset, metric):
 
     vit_cfg = VIT_PRESETS[preset]
     if (args.fused_mlp != vit_cfg.fused_mlp
-            or args.fused_block != vit_cfg.fused_block):
+            or args.fused_block != vit_cfg.fused_block
+            or args.attn_kernel != vit_cfg.attn_kernel):
         vit_cfg = dataclasses.replace(vit_cfg, fused_mlp=args.fused_mlp,
-                                      fused_block=args.fused_block)
+                                      fused_block=args.fused_block,
+                                      attn_kernel=args.attn_kernel)
     T, B = 16, max(args.envs // 16, 16)
     net = ViTActorCriticRNN(action_dim=3, vit=vit_cfg,
                             fc_dim=64, hidden_size=64, continuous=True,

@@ -116,6 +116,14 @@ def main():
     enc3 = ViTEncoder(dataclasses.replace(cfg, rows_2d=False))
     results["vit_encoder_rank3"] = timed(
         lambda im: enc3.apply(eparams, im), img, args.reps)
+    # fused short-seq attention kernel A/B (same param tree as the default)
+    from vit_marl_tpu.ops.attention_kernel import attention_ok
+    if attention_ok(B * 11, 11):
+        enck = ViTEncoder(dataclasses.replace(cfg, attn_kernel=True))
+        results["vit_encoder_attnkernel"] = timed(
+            lambda im: enck.apply(eparams, im), img, args.reps)
+    else:
+        print(f"skip attn-kernel A/B: envs={B} not a 64-multiple")
 
     # ---- 12x attention sub-stack (LN + MHA + residual) ----
     class AttnStack(nn.Module):

@@ -376,6 +376,9 @@ class TrainConfig:
     # use the fused block-half kernels (ops/block_kernel.py: LN1+QKV and
     # proj+residual+LN2+MLP+residual); takes precedence over vit_fused_mlp
     vit_fused_block: bool = False
+    # use the fused short-seq attention kernel (ops/attention_kernel.py);
+    # falls back to the XLA path off-TPU or for untiled batch sizes
+    vit_attn_kernel: bool = False
     seed: int = 30
     # distributed
     mesh_shape: Tuple[int, ...] = ()   # () -> single device

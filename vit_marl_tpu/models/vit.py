@@ -74,6 +74,13 @@ class ViTConfig:
     # reshape in/out of the attention core exists in both layouts.  Math
     # (and the param tree) is identical either way.
     rows_2d: bool = True
+    # Pallas fused short-seq attention (ops/attention_kernel.py): the XLA
+    # path materialises (B, N, N, H) logits/weights whose (16, 128) tile
+    # padding is a ~31x HBM blowup at N=11/H=6; the kernel keeps them in
+    # VMEM and exchanges only unpadded flat rows.  Needs rows_2d, N <= 32
+    # and batch % 64 == 0 (falls back to the XLA path otherwise).
+    # Default OFF pending hardware measurement (tools/profile_vit.py A/B).
+    attn_kernel: bool = False
 
 
 VIT_PRESETS = {
@@ -142,6 +149,16 @@ class MHA(nn.Module):
             B, N, W = x.shape
         head_dim = W // c.heads
         qkv = nn.Dense(3 * W, dtype=dtype, name="qkv")(x)
+        if c.attn_kernel and x.ndim == 2 and N <= 32:
+            from vit_marl_tpu.ops.attention_kernel import (
+                attention_ok,
+                fused_short_attention,
+            )
+            if attention_ok(B * N, N):
+                # qkv is already the kernel's flat (B*N, 3W) layout;
+                # off-TPU the call falls back to XLA internally
+                out = fused_short_attention(qkv, N, c.heads)
+                return nn.Dense(W, dtype=dtype, name="proj")(out)
         qkv = qkv.reshape(B, N, 3, c.heads, head_dim)
         if N <= 32:
             out = attention_nhd(qkv, dtype)          # (B, N, H, D), no moves

@@ -1,0 +1,197 @@
+"""Fused short-sequence attention Pallas kernel (book-image ViT).
+
+Why: the XLA short-seq attention path (``models/vit.py::attention_nhd``)
+materialises logits/weights as ``(B, N, N, H)`` tensors.  With N=11 tokens
+and H=6 heads the last two dims tile-pad to (16, 128) — a ~31x HBM-traffic
+blowup per materialisation (738 MB instead of 24 MB at B=8192) — and the
+softmax chain touches them several times.  This kernel keeps every
+intermediate in VMEM and exchanges exactly the unpadded flat tensors with
+HBM: read ``(B*N, 3W)`` qkv rows (the fused QKV Dense output in the
+``rows_2d`` layout), write ``(B*N, W)`` attention rows.
+
+Algorithm per grid block of EB envs (R = EB*N rows resident in VMEM):
+
+- Token pairing by sublane rolls: for offset ``r``, row ``e*N + i`` pairs
+  with ``e*N + ((i + r) mod N)``; the mod-N wrap picks per-row between
+  ``roll(-r)`` and ``roll(N - r)`` (cross-env rows are never selected).
+- Per-head reduction/broadcast via constant 0/1 selection matrices on the
+  MXU: ``(R, W) @ (W, Hpad)`` sums each head's D lanes (the VPU butterfly
+  alternative costs ~25 ops per offset); ``(R, Hpad) @ (Hpad, W)``
+  broadcasts per-head scalars back across head lanes.
+- Two-pass (max, then exp/accumulate) softmax over the N offsets, flash
+  style: only ``(R, Hpad)`` stats and the ``(R, W)`` output accumulator
+  live across offsets; logits are recomputed in pass B.
+
+Numerics: all accumulation f32 (matching ``attention_nhd``'s f32 logits);
+the output is bit-comparable to the XLA path at f32 inputs up to the
+usual reassociation tolerance (tested to ~1e-5 relative).
+
+No reference counterpart exists (the reference has no TPU kernels and
+never wired its vision encoder; ref: networks/vision_agent.py stub).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+HPAD = 128          # lane-padded head axis for the segment-reduce matmul
+DEF_ENV_BLOCK = 64  # envs per grid step (R = EB*N rows in VMEM)
+
+
+def _selection_matrices(heads: int, head_dim: int):
+    """(W, HPAD) segment-sum and (HPAD, W) broadcast constants."""
+    w = heads * head_dim
+    sel = np.zeros((w, HPAD), np.float32)
+    for h in range(heads):
+        sel[h * head_dim:(h + 1) * head_dim, h] = 1.0
+    return jnp.asarray(sel), jnp.asarray(sel.T)
+
+
+def _attn_kernel(qkv_ref, sel_ref, bsel_ref, out_ref, *, n_tokens: int,
+                 heads: int):
+    N = n_tokens
+    x = qkv_ref[...].astype(jnp.float32)        # (R, 3W)
+    R, W3 = x.shape
+    W = W3 // 3
+    D = W // heads
+    scale = D ** -0.5
+    q = x[:, :W] * scale
+    k = x[:, W:2 * W]
+    v = x[:, 2 * W:]
+    sel = sel_ref[...]                           # (W, HPAD)
+    bsel = bsel_ref[...]                         # (HPAD, W)
+
+    # row i's local token index decides the mod-N wrap of each pairing
+    i_local = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % N
+
+    def paired(t, r):
+        """Rows of ``t`` paired at token offset ``r`` (within-env wrap).
+
+        ``pltpu.roll(t, s)[m] == t[m - s]`` (cyclic, non-negative shifts
+        only), so row m+r is shift R-r and row m-(N-r) is shift N-r.
+        """
+        if r == 0:
+            return t
+        fwd = pltpu.roll(t, R - r, 0)            # row m + r
+        back = pltpu.roll(t, N - r, 0)           # row m - (N - r)
+        return jnp.where(i_local + r < N, fwd, back)
+
+    def head_logits(r):
+        """(R, HPAD) per-head q.k at offset r (f32, MXU segment-sum)."""
+        t = q * paired(k, r)                     # (R, W)
+        return jax.lax.dot(t, sel,
+                           preferred_element_type=jnp.float32)
+
+    # pass A: running max over offsets (per row, per head)
+    m = head_logits(0)
+    for r in range(1, N):
+        m = jnp.maximum(m, head_logits(r))
+
+    # pass B: exp-sum and weighted-V accumulation
+    l = jnp.zeros_like(m)                        # (R, HPAD)
+    acc = jnp.zeros((R, W), jnp.float32)
+    for r in range(N):
+        s = jnp.exp(head_logits(r) - m)          # (R, HPAD)
+        l = l + s
+        s_lanes = jax.lax.dot(s, bsel,
+                              preferred_element_type=jnp.float32)  # (R, W)
+        acc = acc + s_lanes * paired(v, r)
+
+    inv = jax.lax.dot(1.0 / l, bsel, preferred_element_type=jnp.float32)
+    out_ref[...] = (acc * inv).astype(out_ref.dtype)
+
+
+def _attention_reference(qkv: Array, n_tokens: int, heads: int) -> Array:
+    """Pure-XLA reference on the same flat layout (fallback + backward)."""
+    rows, w3 = qkv.shape
+    W = w3 // 3
+    B = rows // n_tokens
+    D = W // heads
+    qkv5 = qkv.reshape(B, n_tokens, 3, heads, D)
+    q = qkv5[:, :, 0] * (D ** -0.5)
+    k = qkv5[:, :, 1]
+    v = qkv5[:, :, 2]
+    logits = jnp.sum(q[:, :, None, :, :] * k[:, None, :, :, :],
+                     axis=-1, dtype=jnp.float32)        # (B, Nq, Nk, H)
+    wts = jax.nn.softmax(logits, axis=2).astype(qkv.dtype)
+    out = jnp.sum(wts[..., None] * v[:, None, :, :, :], axis=2)
+    return out.reshape(rows, W)
+
+
+def _kernel_call(qkv: Array, n_tokens: int, heads: int, env_block: int,
+                 interpret: bool) -> Array:
+    rows, w3 = qkv.shape
+    W = w3 // 3
+    n_envs = rows // n_tokens
+    sel, bsel = _selection_matrices(heads, W // heads)
+    grid = (n_envs // env_block,)
+    blk = env_block * n_tokens
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, n_tokens=n_tokens, heads=heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, w3), lambda i: (i, 0)),
+            pl.BlockSpec((W, HPAD), lambda i: (0, 0)),
+            pl.BlockSpec((HPAD, W), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((blk, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, W), qkv.dtype),
+        interpret=interpret,
+    )(qkv, sel, bsel)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_short_attention(qkv: Array, n_tokens: int, heads: int,
+                          env_block: int = DEF_ENV_BLOCK,
+                          interpret: bool = False) -> Array:
+    """Attention over flat qkv rows.
+
+    ``qkv``: (B*N, 3W) — the fused QKV Dense output in the ``rows_2d``
+    layout, lanes ordered [q | k | v] with heads contiguous (h*D + d), the
+    exact layout ``models/vit.py::MHA`` produces.  Returns (B*N, W)
+    attention rows (pre output-projection), dtype preserved.
+
+    Requires ``(B*N) % (env_block * n_tokens) == 0`` (``attention_ok``);
+    falls back to the XLA path off-TPU (unless ``interpret``).
+
+    Differentiable: the backward pass recomputes attention in XLA and
+    differentiates that — the kernel's win is rollout/inference forward
+    HBM traffic; the PPO update's backward keeps XLA's fused gradients.
+    """
+    rows, w3 = qkv.shape
+    n_envs = rows // n_tokens
+    if rows % n_tokens or n_envs % env_block:
+        raise ValueError(
+            f"rows={rows} must be a multiple of env_block*n_tokens="
+            f"{env_block * n_tokens}")
+    if not interpret and jax.default_backend() != "tpu":
+        return _attention_reference(qkv, n_tokens, heads)
+    return _kernel_call(qkv, n_tokens, heads, env_block, interpret)
+
+
+def _fsa_fwd(qkv, n_tokens, heads, env_block, interpret):
+    return (fused_short_attention(qkv, n_tokens, heads, env_block,
+                                  interpret), qkv)
+
+
+def _fsa_bwd(n_tokens, heads, env_block, interpret, qkv, g):
+    _, vjp = jax.vjp(
+        lambda x: _attention_reference(x, n_tokens, heads), qkv)
+    return vjp(g)
+
+
+fused_short_attention.defvjp(_fsa_fwd, _fsa_bwd)
+
+
+def attention_ok(rows: int, n_tokens: int,
+                 env_block: int = DEF_ENV_BLOCK) -> bool:
+    """Whether the kernel's tiling constraint holds for this batch."""
+    return rows % n_tokens == 0 and (rows // n_tokens) % env_block == 0

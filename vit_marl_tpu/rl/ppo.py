@@ -70,9 +70,11 @@ def make_network(cfg: TrainConfig, i: int, action_space, obs_space):
         import dataclasses as _dc
         vit_cfg = VIT_PRESETS[cfg.vit_preset]
         if (cfg.vit_fused_mlp != vit_cfg.fused_mlp
-                or cfg.vit_fused_block != vit_cfg.fused_block):
+                or cfg.vit_fused_block != vit_cfg.fused_block
+                or cfg.vit_attn_kernel != vit_cfg.attn_kernel):
             vit_cfg = _dc.replace(vit_cfg, fused_mlp=cfg.vit_fused_mlp,
-                                  fused_block=cfg.vit_fused_block)
+                                  fused_block=cfg.vit_fused_block,
+                                  attn_kernel=cfg.vit_attn_kernel)
         return ViTActorCriticRNN(
             action_dim=action_dim, vit=vit_cfg,
             fc_dim=cfg.fc_dim, hidden_size=cfg.hidden_size,
