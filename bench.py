@@ -422,6 +422,24 @@ def kernel_selfcheck():
                     jax.tree.leaves((k_u.asks, k_u.bids))):
         ok &= bool(jnp.array_equal(x, y))
     ok &= bool(jnp.array_equal(xua, kua)) and bool(jnp.array_equal(xub, kub))
+
+    # attention kernel: compiled Mosaic lowering vs the XLA path at ViT
+    # bench shapes (the CPU suite covers interpret mode only)
+    from vit_marl_tpu.models.vit import attention_nhd
+    from vit_marl_tpu.ops.attention_kernel import fused_short_attention
+    Ba, N, H, D = 256, 11, 6, 64
+    qkv_flat = jax.random.normal(jax.random.PRNGKey(7),
+                                 (Ba * N, 3 * H * D), jnp.float32)
+    a_ref = attention_nhd(qkv_flat.reshape(Ba, N, 3, H, D),
+                          jnp.float32).reshape(Ba * N, H * D)
+    a_got = fused_short_attention(qkv_flat, N, H)
+    a_err = float(jnp.max(jnp.abs(a_got - a_ref))
+                  / (jnp.max(jnp.abs(a_ref)) + 1e-9))
+    attn_ok = a_err < 2e-5
+    ok &= attn_ok
+    print(f"# attention kernel compiled check: rel err {a_err:.2e} "
+          f"({'OK' if attn_ok else 'FAIL'})", file=_sys.stderr)
+
     import json as _json
     print(_json.dumps({"metric": "kernel_selfcheck_ok",
                        "value": 1.0 if ok else 0.0, "unit": "bool",
