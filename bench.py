@@ -120,6 +120,10 @@ def main():
                    help="use the fused block-half kernels "
                         "(ops/block_kernel.py: LN1+QKV and "
                         "proj+residual+LN2+MLP+residual)")
+    p.add_argument("--fused-block-full", action="store_true",
+                   help="use the fully-fused block kernel "
+                        "(ops/block_kernel.py::fused_block_full: attention "
+                        "included, one kernel per block)")
     p.add_argument("--attn-kernel", action="store_true",
                    help="use the fused short-seq attention kernel "
                         "(ops/attention_kernel.py) in ViT blocks for the "
@@ -140,7 +144,22 @@ def main():
     vit_measured = args.vit_images or args.policy.startswith("vit")
     rows = args.envs * 11
     fused_tag = ""
-    if vit_measured and args.fused_block:
+    if vit_measured and args.fused_block_full:
+        from vit_marl_tpu.ops.block_kernel import full_block_ok
+        from vit_marl_tpu.models.vit import VIT_PRESETS as _VP
+        _pre = {"vit-tiny": "tiny", "vit-small": "small",
+                "vit-base": "base"}.get(args.policy, "small")
+        _c = _VP[_pre]
+        if not full_block_ok(rows, 11, _c.width, _c.heads,
+                             _c.width * _c.mlp_ratio):
+            print(f"WARNING: envs={args.envs} / width={_c.width} cannot "
+                  "engage the fully-fused block kernel (needs envs % 64 "
+                  "== 0 and width <= 512); measuring (and labeling) "
+                  "UNFUSED.", file=sys.stderr)
+            args.fused_block_full = False
+        else:
+            fused_tag = ",fusedblockfull"
+    elif vit_measured and args.fused_block:
         from vit_marl_tpu.ops.block_kernel import ROW_BLOCK as BLK_RB
         if rows % BLK_RB:
             print(f"WARNING: rows={rows} (11*envs) is not a multiple of "
@@ -255,6 +274,7 @@ def main():
             vit_preset=preset,
             vit_fused_mlp=args.fused_mlp,
             vit_fused_block=args.fused_block,
+            vit_fused_block_full=args.fused_block_full,
             vit_attn_kernel=args.attn_kernel)
         nets, net_params, hs = [], [], []
         for i in range(n_types):
@@ -440,6 +460,36 @@ def kernel_selfcheck():
     print(f"# attention kernel compiled check: rel err {a_err:.2e} "
           f"({'OK' if attn_ok else 'FAIL'})", file=_sys.stderr)
 
+    # fully-fused block kernel: compiled lowering vs the composed XLA
+    # reference at ViT-Small width (one grid step of 64 envs)
+    from vit_marl_tpu.ops.block_kernel import (
+        _full_block_reference,
+        fused_block_full,
+    )
+    Wf, Hf = 384, 6
+    ksf = jax.random.split(jax.random.PRNGKey(11), 13)
+    fb_args = (jax.random.normal(ksf[0], (64 * N, Wf), jnp.float32) * 0.5,
+               jax.random.normal(ksf[1], (Wf,)) * 0.1 + 1.0,
+               jax.random.normal(ksf[2], (Wf,)) * 0.1,
+               jax.random.normal(ksf[3], (Wf, 3 * Wf)) * 0.05,
+               jax.random.normal(ksf[4], (3 * Wf,)) * 0.1,
+               jax.random.normal(ksf[5], (Wf, Wf)) * 0.05,
+               jax.random.normal(ksf[6], (Wf,)) * 0.1,
+               jax.random.normal(ksf[7], (Wf,)) * 0.1 + 1.0,
+               jax.random.normal(ksf[8], (Wf,)) * 0.1,
+               jax.random.normal(ksf[9], (Wf, 4 * Wf)) * 0.05,
+               jax.random.normal(ksf[10], (4 * Wf,)) * 0.1,
+               jax.random.normal(ksf[11], (4 * Wf, Wf)) * 0.05,
+               jax.random.normal(ksf[12], (Wf,)) * 0.1)
+    fb_got = fused_block_full(*fb_args, N, Hf)
+    fb_ref = _full_block_reference(*fb_args, N, Hf)
+    fb_err = float(jnp.max(jnp.abs(fb_got - fb_ref))
+                   / (jnp.max(jnp.abs(fb_ref)) + 1e-9))
+    fb_ok = fb_err < 2e-5
+    ok &= fb_ok
+    print(f"# fused-block-full compiled check: rel err {fb_err:.2e} "
+          f"({'OK' if fb_ok else 'FAIL'})", file=_sys.stderr)
+
     import json as _json
     print(_json.dumps({"metric": "kernel_selfcheck_ok",
                        "value": 1.0 if ok else 0.0, "unit": "bool",
@@ -472,10 +522,13 @@ def bench_vit_images(args, preset, metric):
     vit_cfg = VIT_PRESETS[preset]
     if (args.fused_mlp != vit_cfg.fused_mlp
             or args.fused_block != vit_cfg.fused_block
+            or args.fused_block_full != vit_cfg.fused_block_full
             or args.attn_kernel != vit_cfg.attn_kernel):
-        vit_cfg = dataclasses.replace(vit_cfg, fused_mlp=args.fused_mlp,
-                                      fused_block=args.fused_block,
-                                      attn_kernel=args.attn_kernel)
+        vit_cfg = dataclasses.replace(
+            vit_cfg, fused_mlp=args.fused_mlp,
+            fused_block=args.fused_block,
+            fused_block_full=args.fused_block_full,
+            attn_kernel=args.attn_kernel)
     T, B = 16, max(args.envs // 16, 16)
     net = ViTActorCriticRNN(action_dim=3, vit=vit_cfg,
                             fc_dim=64, hidden_size=64, continuous=True,

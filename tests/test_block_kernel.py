@@ -15,10 +15,13 @@ import pytest
 
 from vit_marl_tpu.ops.block_kernel import (
     ROW_BLOCK,
+    _full_block_reference,
     _ln_qkv_reference,
     _proj_mlp_reference,
+    fused_block_full,
     fused_ln_qkv,
     fused_proj_mlp,
+    full_block_ok,
 )
 
 KEY = jax.random.PRNGKey(0)
@@ -95,6 +98,102 @@ def test_vjp_matches_reference(fn, ref, mk):
     for got, want in zip(vjp(g), vjp_r(g)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+N_TOK, HEADS = 11, 4
+
+
+def _full_block_args(envs, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(3), 13)
+    s = 0.05
+    return (jax.random.normal(ks[0], (envs * N_TOK, W), dtype),
+            jax.random.normal(ks[1], (W,)) * 0.1 + 1.0,
+            jax.random.normal(ks[2], (W,)) * 0.1,
+            (jax.random.normal(ks[3], (W, 3 * W)) * s).astype(dtype),
+            jax.random.normal(ks[4], (3 * W,)) * 0.1,
+            (jax.random.normal(ks[5], (W, W)) * s).astype(dtype),
+            jax.random.normal(ks[6], (W,)) * 0.1,
+            jax.random.normal(ks[7], (W,)) * 0.1 + 1.0,
+            jax.random.normal(ks[8], (W,)) * 0.1,
+            (jax.random.normal(ks[9], (W, 4 * W)) * s).astype(dtype),
+            jax.random.normal(ks[10], (4 * W,)) * 0.1,
+            (jax.random.normal(ks[11], (4 * W, W)) * s).astype(dtype),
+            jax.random.normal(ks[12], (W,)) * 0.1)
+
+
+def test_full_block_matches_composed_reference_tiled():
+    """Interpret-mode kernel == the composition of the three tested
+    references (two grid steps of env_block=8)."""
+    args = _full_block_args(16)
+    got = fused_block_full(*args, N_TOK, HEADS, 8, True)
+    want = _full_block_reference(*args, N_TOK, HEADS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_full_block_fallback_unaligned():
+    args = _full_block_args(9)               # 9 envs % env_block=8 != 0
+    got = fused_block_full(*args, N_TOK, HEADS, 8, True)
+    want = _full_block_reference(*args, N_TOK, HEADS)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_full_block_vjp_matches_reference():
+    args = _full_block_args(8)
+    out, vjp = jax.vjp(
+        lambda *a: fused_block_full(*a, N_TOK, HEADS, 8, True), *args)
+    out_r, vjp_r = jax.vjp(
+        lambda *a: _full_block_reference(*a, N_TOK, HEADS), *args)
+    g = jax.random.normal(jax.random.PRNGKey(1), out.shape, out.dtype)
+    for got, want in zip(vjp(g), vjp_r(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_full_block_ok_predicate():
+    assert full_block_ok(64 * N_TOK, N_TOK, 384, 6, 1536)
+    assert not full_block_ok(63 * N_TOK, N_TOK, 384, 6, 1536)   # env tiling
+    assert not full_block_ok(64 * N_TOK, N_TOK, 768, 12, 3072)  # ViT-Base VMEM
+
+
+def test_flax_block_fused_full_matches_half_fused():
+    """cfg.fused_block_full shares the param tree with cfg.fused_block and
+    (on CPU, where both fall back to their XLA references) matches it."""
+    from vit_marl_tpu.models.vit import Block, ViTConfig
+
+    cfg = ViTConfig(width=64, depth=1, heads=2, compute_dtype="float32",
+                    remat=False, fused_block=True)
+    x = jax.random.normal(KEY, (8, 11, 64), jnp.float32)
+    halves = Block(cfg)
+    ph = halves.init(KEY, x)
+    full = Block(dataclasses.replace(cfg, fused_block=False,
+                                     fused_block_full=True))
+    pf = full.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree.structure(ph) == jax.tree.structure(pf)
+            and [v.shape for v in jax.tree.leaves(ph)]
+            == [v.shape for v in jax.tree.leaves(pf)])
+    got = full.apply(ph, x)
+    want = halves.apply(ph, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_trains_with_fused_block_full():
+    from vit_marl_tpu.models.vit import ViTConfig, ViTEncoder
+
+    cfg = ViTConfig(width=64, depth=2, heads=2, compute_dtype="float32",
+                    remat=True, fused_block_full=True)
+    enc = ViTEncoder(cfg)
+    img = jax.random.normal(KEY, (4, 10, 3, 2))
+    params = enc.init(KEY, img)
+
+    def loss(p):
+        return jnp.square(enc.apply(p, img)).mean()
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.abs(v).max()) for v in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms))
+    assert max(norms) > 0
 
 
 def test_flax_block_fused_matches_unfused_f32():

@@ -80,6 +80,8 @@ step runs/r4/bench_vit_fusedblock.txt '"metric"' 1500 \
   python bench.py --envs 8192 --fused-block --deadline 1380 || exit 1
 step runs/r4/bench_vit_attnkernel.txt '"metric"' 1500 \
   python bench.py --envs 8192 --attn-kernel --deadline 1380 || exit 1
+step runs/r4/bench_vit_fusedblockfull.txt '"metric"' 1500 \
+  python bench.py --envs 8192 --fused-block-full --deadline 1380 || exit 1
 step runs/r4/bench_vit_16k.txt '"metric"' 1800 \
   python bench.py --envs 16384 --deadline 1680 || exit 1
 step runs/r4/profile_vit.txt 'MFLOP/env' 1800 \

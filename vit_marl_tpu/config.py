@@ -376,6 +376,10 @@ class TrainConfig:
     # use the fused block-half kernels (ops/block_kernel.py: LN1+QKV and
     # proj+residual+LN2+MLP+residual); takes precedence over vit_fused_mlp
     vit_fused_block: bool = False
+    # use the fully-fused block kernel (ops/block_kernel.py::
+    # fused_block_full — attention included, one kernel per block); takes
+    # precedence over vit_fused_block / vit_fused_mlp
+    vit_fused_block_full: bool = False
     # use the fused short-seq attention kernel (ops/attention_kernel.py);
     # falls back to the XLA path off-TPU or for untiled batch sizes
     vit_attn_kernel: bool = False

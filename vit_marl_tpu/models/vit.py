@@ -66,6 +66,16 @@ class ViTConfig:
     # (raw kernels instead of Dense submodules), so checkpoints don't
     # interchange between modes.  Takes precedence over fused_mlp.
     fused_block: bool = False
+    # fully-fused block (ops/block_kernel.py::fused_block_full): LN1, QKV,
+    # the short-seq attention body, projection, both residuals, LN2 and the
+    # MLP all in ONE kernel — only x in / x' out touch HBM (the half-split
+    # above still round-trips qkv + attn_out, ~830 MB/block @ 8192 envs).
+    # Same param tree as fused_block (checkpoints interchange between the
+    # two fused modes).  Needs rows grouped by env (rows_2d) and
+    # envs % 64 == 0; falls back to the composed XLA reference otherwise.
+    # Default OFF pending hardware measurement.  Takes precedence over
+    # fused_block and fused_mlp.
+    fused_block_full: bool = False
     # run LN / residual / MLP / projection on flat (B*N, W) rows instead of
     # (B, N, W) tokens.  TPU tiling pads the second-to-minor dim to the
     # sublane count (8 for f32, 16 for bf16), so rank-3 activations with
@@ -178,7 +188,7 @@ class Block(nn.Module):
         (the rows_2d layout — see ViTConfig.rows_2d)."""
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        if c.fused_block:
+        if c.fused_block or c.fused_block_full:
             return self._fused_block(x, dtype, n_tokens)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
         x = x + MHA(c, name="attn")(h, n_tokens)
@@ -206,8 +216,14 @@ class Block(nn.Module):
                      n_tokens: Optional[int] = None) -> Array:
         """Pallas block halves (ops/block_kernel.py): LN1+QKV fused, XLA
         attention, then proj+residual+LN2+MLP+residual fused.  Same math
-        as the unfused path (LN f32 stats, f32-accumulated matmuls)."""
-        from vit_marl_tpu.ops.block_kernel import fused_ln_qkv, fused_proj_mlp
+        as the unfused path (LN f32 stats, f32-accumulated matmuls).
+        With ``fused_block_full`` the whole block (attention included)
+        runs in one kernel instead — same param tree."""
+        from vit_marl_tpu.ops.block_kernel import (
+            fused_block_full,
+            fused_ln_qkv,
+            fused_proj_mlp,
+        )
 
         c = self.cfg
         if x.ndim == 2:
@@ -236,6 +252,11 @@ class Block(nn.Module):
         bm2 = self.param("mlp2_bias", zeros, (W,))
 
         xf = x.reshape(B * N, W).astype(dtype)
+        if c.fused_block_full:
+            out = fused_block_full(
+                xf, g1, b1, wqkv.astype(dtype), bqkv, wp.astype(dtype), bp,
+                g2, b2, w1.astype(dtype), bm1, w2.astype(dtype), bm2, N, H)
+            return out if x.ndim == 2 else out.reshape(B, N, W)
         qkv = fused_ln_qkv(xf, g1, b1, wqkv.astype(dtype), bqkv, False)
         qkv = qkv.reshape(B, N, 3, H, W // H)
         if N <= 32:

@@ -55,10 +55,14 @@ def _selection_matrices(heads: int, head_dim: int):
     return jnp.asarray(sel), jnp.asarray(sel.T)
 
 
-def _attn_kernel(qkv_ref, sel_ref, bsel_ref, out_ref, *, n_tokens: int,
-                 heads: int):
+def _attn_body(x, sel, bsel, n_tokens: int, heads: int):
+    """The in-VMEM attention computation, shared with the fully-fused block
+    kernel (ops/block_kernel.py::fused_block_full).
+
+    ``x``: (R, 3W) f32 qkv rows; ``sel``/``bsel``: the selection constants.
+    Returns (R, W) f32 attention rows.
+    """
     N = n_tokens
-    x = qkv_ref[...].astype(jnp.float32)        # (R, 3W)
     R, W3 = x.shape
     W = W3 // 3
     D = W // heads
@@ -66,8 +70,6 @@ def _attn_kernel(qkv_ref, sel_ref, bsel_ref, out_ref, *, n_tokens: int,
     q = x[:, :W] * scale
     k = x[:, W:2 * W]
     v = x[:, 2 * W:]
-    sel = sel_ref[...]                           # (W, HPAD)
-    bsel = bsel_ref[...]                         # (HPAD, W)
 
     # row i's local token index decides the mod-N wrap of each pairing
     i_local = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % N
@@ -106,7 +108,14 @@ def _attn_kernel(qkv_ref, sel_ref, bsel_ref, out_ref, *, n_tokens: int,
         acc = acc + s_lanes * paired(v, r)
 
     inv = jax.lax.dot(1.0 / l, bsel, preferred_element_type=jnp.float32)
-    out_ref[...] = (acc * inv).astype(out_ref.dtype)
+    return acc * inv
+
+
+def _attn_kernel(qkv_ref, sel_ref, bsel_ref, out_ref, *, n_tokens: int,
+                 heads: int):
+    out = _attn_body(qkv_ref[...].astype(jnp.float32), sel_ref[...],
+                     bsel_ref[...], n_tokens, heads)
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _attention_reference(qkv: Array, n_tokens: int, heads: int) -> Array:

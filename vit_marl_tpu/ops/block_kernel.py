@@ -218,3 +218,146 @@ def _proj_mlp_bwd(interpret, res, g):
 
 
 fused_proj_mlp.defvjp(_proj_mlp_fwd, _proj_mlp_bwd)
+
+
+# --------------------------------------------------------------------------
+# fully-fused block: x -> LN1 -> QKV -> attention -> proj -> +x -> LN2
+#                      -> MLP -> +x1, one kernel
+# --------------------------------------------------------------------------
+#
+# The two-half split above still round-trips qkv (3W) and attn_out (W)
+# through HBM between the halves — at 8192 envs x ViT-Small that is
+# ~830 MB/block of traffic the fusion boundary forces.  Fusing the
+# short-seq attention body (ops/attention_kernel.py::_attn_body — the
+# sublane-roll + selection-matmul algorithm) between the halves leaves
+# only x in / x' out per block: ~1.1 MB of row io per 704-row grid step
+# vs ~9 MB through the split kernels.
+#
+# Rows must group whole envs for the attention rolls, so the row block is
+# ``env_block * n_tokens`` (default 64*11 = 704) rather than ROW_BLOCK.
+# VMEM at W=384/EB=64: ~4 MB weights + ~0.5 MB row io + f32 attention
+# intermediates ~8 MB peak — inside v5e's ~16 MB, with EB=32 as the
+# fallback knob if a wider config overflows.
+
+DEF_FULL_ENV_BLOCK = 64
+
+
+def _full_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                       sel_ref, bsel_ref, wp_ref, bp_ref, g2_ref, b2_ref,
+                       w1_ref, bm1_ref, w2_ref, bm2_ref, o_ref, *,
+                       n_tokens: int, heads: int):
+    from vit_marl_tpu.ops.attention_kernel import _attn_body
+
+    dt = x_ref.dtype
+    x = x_ref[...]
+    h = _ln(x, g1_ref[...], b1_ref[...]).astype(dt)
+    qkv = jnp.dot(h, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(dt)
+    attn = _attn_body(qkv.astype(jnp.float32), sel_ref[...], bsel_ref[...],
+                      n_tokens, heads).astype(dt)
+    proj = jnp.dot(attn, wp_ref[...], preferred_element_type=jnp.float32)
+    proj = (proj + bp_ref[...].astype(jnp.float32)).astype(dt)
+    x1 = x + proj
+    h2 = _ln(x1, g2_ref[...], b2_ref[...]).astype(dt)
+    hid = jnp.dot(h2, w1_ref[...], preferred_element_type=jnp.float32)
+    hid = _gelu((hid + bm1_ref[...].astype(jnp.float32)).astype(dt))
+    mlp = jnp.dot(hid, w2_ref[...], preferred_element_type=jnp.float32)
+    mlp = (mlp + bm2_ref[...].astype(jnp.float32)).astype(dt)
+    o_ref[...] = x1 + mlp
+
+
+def _full_block_reference(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2,
+                          w1, bm1, w2, bm2, n_tokens, heads):
+    """Composition of the three tested references (fallback + backward)."""
+    from vit_marl_tpu.ops.attention_kernel import _attention_reference
+
+    qkv = _ln_qkv_reference(x, g1, b1, wqkv, bqkv)
+    attn = _attention_reference(qkv, n_tokens, heads).astype(x.dtype)
+    return _proj_mlp_reference(attn, x, wp, bp, g2, b2, w1, bm1, w2, bm2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+def fused_block_full(x: Array, g1: Array, b1: Array, wqkv: Array,
+                     bqkv: Array, wp: Array, bp: Array, g2: Array,
+                     b2: Array, w1: Array, bm1: Array, w2: Array,
+                     bm2: Array, n_tokens: int, heads: int,
+                     env_block: int = DEF_FULL_ENV_BLOCK,
+                     interpret: bool = False) -> Array:
+    """One transformer block in one kernel; only x / x' touch HBM.
+
+    ``x``: (rows, W) flat token rows (rows = envs * n_tokens, the
+    ``rows_2d`` layout).  Requires ``rows % (env_block * n_tokens) == 0``;
+    falls back to the composed XLA reference off-TPU or for unaligned /
+    too-wide shapes.  Backward recomputes in XLA (same recipe as the
+    half kernels)."""
+    return _full_block_impl(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2,
+                            w1, bm1, w2, bm2, n_tokens, heads,
+                            env_block, interpret)
+
+
+def _full_block_impl(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, bm1,
+                     w2, bm2, n_tokens, heads, env_block, interpret):
+    from vit_marl_tpu.ops.attention_kernel import _selection_matrices, HPAD
+
+    rows, w_in = x.shape
+    hidden = w1.shape[1]
+    blk = env_block * n_tokens
+    if (rows % blk != 0 or w_in > MAX_WIDTH or hidden > 4 * MAX_WIDTH
+            or w_in % heads != 0
+            or (not interpret and jax.default_backend() != "tpu")):
+        return _full_block_reference(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2,
+                                     w1, bm1, w2, bm2, n_tokens, heads)
+    sel, bsel = _selection_matrices(heads, w_in // heads)
+    row = lambda i: (i, 0)
+    const = lambda i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_full_block_kernel, n_tokens=n_tokens,
+                          heads=heads),
+        grid=(rows // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, w_in), row),
+            pl.BlockSpec((1, w_in), const),
+            pl.BlockSpec((1, w_in), const),
+            pl.BlockSpec((w_in, 3 * w_in), const),
+            pl.BlockSpec((1, 3 * w_in), const),
+            pl.BlockSpec((w_in, HPAD), const),
+            pl.BlockSpec((HPAD, w_in), const),
+            pl.BlockSpec((w_in, w_in), const),
+            pl.BlockSpec((1, w_in), const),
+            pl.BlockSpec((1, w_in), const),
+            pl.BlockSpec((1, w_in), const),
+            pl.BlockSpec((w_in, hidden), const),
+            pl.BlockSpec((1, hidden), const),
+            pl.BlockSpec((hidden, w_in), const),
+            pl.BlockSpec((1, w_in), const),
+        ],
+        out_specs=pl.BlockSpec((blk, w_in), row),
+        out_shape=jax.ShapeDtypeStruct((rows, w_in), x.dtype),
+        interpret=interpret,
+    )(x, g1.reshape(1, -1), b1.reshape(1, -1), wqkv, bqkv.reshape(1, -1),
+      sel, bsel, wp, bp.reshape(1, -1), g2.reshape(1, -1),
+      b2.reshape(1, -1), w1, bm1.reshape(1, -1), w2, bm2.reshape(1, -1))
+
+
+def _full_block_fwd(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, bm1, w2,
+                    bm2, n_tokens, heads, env_block, interpret):
+    out = _full_block_impl(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, bm1,
+                           w2, bm2, n_tokens, heads, env_block, interpret)
+    return out, (x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, bm1, w2, bm2)
+
+
+def _full_block_bwd(n_tokens, heads, env_block, interpret, res, g):
+    ref = lambda *a: _full_block_reference(*a, n_tokens, heads)
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+
+fused_block_full.defvjp(_full_block_fwd, _full_block_bwd)
+
+
+def full_block_ok(rows: int, n_tokens: int, width: int, heads: int,
+                  hidden: int,
+                  env_block: int = DEF_FULL_ENV_BLOCK) -> bool:
+    """Whether the fully-fused kernel (not the fallback) engages."""
+    return (rows % (env_block * n_tokens) == 0 and width <= MAX_WIDTH
+            and hidden <= 4 * MAX_WIDTH and width % heads == 0)
