@@ -33,6 +33,70 @@ def test_run_sweep(tmp_path):
     assert all("final_metrics" in r for r in rows)
 
 
+def test_sweep_cli_file_driven(tmp_path, monkeypatch, capsys):
+    """`python -m vit_marl_tpu.rl.sweep --config <yaml>` runs the SWEEP:
+    grid from the file (the reference's fine-sweep workflow)."""
+    import yaml
+
+    from vit_marl_tpu.rl.sweep import main
+
+    cfg = {
+        "NUM_ENVS": 4, "NUM_STEPS": 4, "TOTAL_TIMESTEPS": 16,
+        "NUM_MINIBATCHES": 2, "UPDATE_EPOCHS": 1, "LOG_BACKEND": "none",
+        "WORLD": {"N_DATA_MSG_PER_STEP": 10, "EPISODE_TIME": 6,
+                  "START_RESOLUTION": 5,
+                  "N_MESSAGES_PER_SYNTHETIC_DAY": 2_000},
+        "AGENT_CONFIGS": {
+            "MarketMaking": {},
+            "Execution": {"ACTION_SPACE": "simplest_case",
+                          "OBSERVATION_SPACE": "simplest_case",
+                          "REWARD_SPACE": "simplest_case"},
+        },
+        "SWEEP": {"LR": [1e-4, 2.5e-4], "GAMMA": 0.99},  # scalar -> 1-list
+    }
+    path = tmp_path / "sweep.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "results.jsonl"
+    monkeypatch.setattr("sys.argv", ["sweep", "--config", str(path),
+                                     "--out", str(out)])
+    main()
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 2
+    assert {r["overrides"]["LR"] for r in rows} == {1e-4, 2.5e-4}
+    assert all(r["overrides"]["GAMMA"] == 0.99 for r in rows)
+
+
+def test_sweep_cli_requires_sweep_section(tmp_path, monkeypatch):
+    from vit_marl_tpu.rl.sweep import main
+
+    path = tmp_path / "nosweep.yaml"
+    path.write_text("NUM_ENVS: 4\n")
+    monkeypatch.setattr("sys.argv", ["sweep", "--config", str(path)])
+    with pytest.raises(SystemExit):
+        main()
+
+
+def test_shipped_sweep_config_keys_valid():
+    """configs/sweep_fine.yaml's base + every grid assignment must survive
+    the strict config merge (unknown keys raise)."""
+    import copy
+    import os
+
+    import yaml
+
+    from vit_marl_tpu.config import make_config
+    from vit_marl_tpu.rl.sweep import _set_dotted
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "sweep_fine.yaml")
+    raw = yaml.safe_load(open(path))
+    grid = raw.pop("SWEEP")
+    base = copy.deepcopy(raw)
+    for k, vals in grid.items():
+        _set_dotted(base, k, vals[0])
+    make_config(base)  # raises on any unknown key
+
+
 def test_grid_to_wandb_sweep_shape():
     """Dotted grid -> nested wandb sweep config, the reference's shape
     (ref: ippo_rnn_JAXMARL.py:952-984)."""

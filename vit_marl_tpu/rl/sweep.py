@@ -134,3 +134,42 @@ def run_wandb_sweep(base_raw: Dict[str, Any], grid: Dict[str, List[Any]],
                            project=project, entity=entity)
     wandb.agent(sweep_id, function=trial, count=count)
     return sweep_id
+
+
+def main():
+    """File-driven sweep CLI (the reference's fine-sweep workflow,
+    ref: config/ippo_rnn_JAXMARL_fine_sweep.yaml + ippo_rnn_JAXMARL.py:952-993):
+    a run YAML whose ``SWEEP:`` section maps dotted config keys to value
+    lists; every other key is the base config.
+
+      python -m vit_marl_tpu.rl.sweep --config configs/sweep_fine.yaml
+      python -m vit_marl_tpu.rl.sweep --config ... --wandb  # sweep service
+    """
+    import argparse
+
+    import yaml
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True,
+                   help="YAML with a SWEEP: {dotted.key: [values]} section")
+    p.add_argument("--out", default="sweep_results.jsonl")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wandb", action="store_true",
+                   help="register with the wandb sweep service and run "
+                        "wandb.agent instead of the offline local grid")
+    args = p.parse_args()
+
+    with open(args.config) as f:
+        raw = yaml.safe_load(f) or {}
+    grid = raw.pop("SWEEP", None)
+    if not grid:
+        raise SystemExit(f"{args.config} has no SWEEP: section")
+    grid = {k: (v if isinstance(v, list) else [v]) for k, v in grid.items()}
+    if args.wandb:
+        run_wandb_sweep(raw, grid, seed=args.seed)
+    else:
+        run_sweep(raw, grid, out_path=args.out, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()
