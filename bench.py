@@ -143,13 +143,13 @@ def main():
     # would record an unfused-vs-unfused "A/B" under a fused label
     vit_measured = args.vit_images or args.policy.startswith("vit")
     rows = args.envs * 11
+    preset = {"none": "small", "gru": "small", "vit-tiny": "tiny",
+              "vit-small": "small", "vit-base": "base"}[args.policy]
     fused_tag = ""
     if vit_measured and args.fused_block_full:
         from vit_marl_tpu.ops.block_kernel import full_block_ok
         from vit_marl_tpu.models.vit import VIT_PRESETS as _VP
-        _pre = {"vit-tiny": "tiny", "vit-small": "small",
-                "vit-base": "base"}.get(args.policy, "small")
-        _c = _VP[_pre]
+        _c = _VP[preset]
         if not full_block_ok(rows, 11, _c.width, _c.heads,
                              _c.width * _c.mlp_ratio):
             print(f"WARNING: envs={args.envs} / width={_c.width} cannot "
@@ -189,8 +189,6 @@ def main():
             args.attn_kernel = False
         else:
             fused_tag += ",attnkernel"
-    preset = {"none": "small", "gru": "small", "vit-tiny": "tiny",
-              "vit-small": "small", "vit-base": "base"}[args.policy]
     if args.vit_images:
         metric = f"vit_fwd_bwd_images_per_sec[{preset}{fused_tag}]"
         unit = "images/s"
@@ -461,31 +459,37 @@ def kernel_selfcheck():
           f"({'OK' if attn_ok else 'FAIL'})", file=_sys.stderr)
 
     # fully-fused block kernel: compiled lowering vs the composed XLA
-    # reference at ViT-Small width (one grid step of 64 envs)
+    # reference at ViT-Small width (two grid steps of 64 envs) in the
+    # PRODUCTION dtype — bf16 x/weights like the flax Block passes (f32
+    # would ~1.6x the kernel's VMEM budget and can overflow on v5e; the
+    # tight f32 equality is covered by the interpret-mode CPU tests).
+    # Tolerance: any lowering bug (wrong roll pairing, bad selection
+    # matmul) produces O(1) relative error; bf16 rounding is ~1e-3.
     from vit_marl_tpu.ops.block_kernel import (
         _full_block_reference,
         fused_block_full,
     )
     Wf, Hf = 384, 6
+    bf16 = jnp.bfloat16
     ksf = jax.random.split(jax.random.PRNGKey(11), 13)
-    fb_args = (jax.random.normal(ksf[0], (64 * N, Wf), jnp.float32) * 0.5,
+    fb_args = ((jax.random.normal(ksf[0], (128 * N, Wf)) * 0.5).astype(bf16),
                jax.random.normal(ksf[1], (Wf,)) * 0.1 + 1.0,
                jax.random.normal(ksf[2], (Wf,)) * 0.1,
-               jax.random.normal(ksf[3], (Wf, 3 * Wf)) * 0.05,
+               (jax.random.normal(ksf[3], (Wf, 3 * Wf)) * 0.05).astype(bf16),
                jax.random.normal(ksf[4], (3 * Wf,)) * 0.1,
-               jax.random.normal(ksf[5], (Wf, Wf)) * 0.05,
+               (jax.random.normal(ksf[5], (Wf, Wf)) * 0.05).astype(bf16),
                jax.random.normal(ksf[6], (Wf,)) * 0.1,
                jax.random.normal(ksf[7], (Wf,)) * 0.1 + 1.0,
                jax.random.normal(ksf[8], (Wf,)) * 0.1,
-               jax.random.normal(ksf[9], (Wf, 4 * Wf)) * 0.05,
+               (jax.random.normal(ksf[9], (Wf, 4 * Wf)) * 0.05).astype(bf16),
                jax.random.normal(ksf[10], (4 * Wf,)) * 0.1,
-               jax.random.normal(ksf[11], (4 * Wf, Wf)) * 0.05,
+               (jax.random.normal(ksf[11], (4 * Wf, Wf)) * 0.05).astype(bf16),
                jax.random.normal(ksf[12], (Wf,)) * 0.1)
-    fb_got = fused_block_full(*fb_args, N, Hf)
-    fb_ref = _full_block_reference(*fb_args, N, Hf)
+    fb_got = fused_block_full(*fb_args, N, Hf).astype(jnp.float32)
+    fb_ref = _full_block_reference(*fb_args, N, Hf).astype(jnp.float32)
     fb_err = float(jnp.max(jnp.abs(fb_got - fb_ref))
                    / (jnp.max(jnp.abs(fb_ref)) + 1e-9))
-    fb_ok = fb_err < 2e-5
+    fb_ok = fb_err < 2e-2
     ok &= fb_ok
     print(f"# fused-block-full compiled check: rel err {fb_err:.2e} "
           f"({'OK' if fb_ok else 'FAIL'})", file=_sys.stderr)

@@ -178,6 +178,69 @@ def test_flax_block_fused_full_matches_half_fused():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_convert_vit_params_roundtrip_and_equivalence():
+    """convert_vit_params transplants a trained unfused encoder into the
+    fused layout (same outputs), round-trips exactly, and refuses a
+    double conversion."""
+    from vit_marl_tpu.models.convert import convert_vit_params
+    from vit_marl_tpu.models.vit import ViTConfig, ViTEncoder
+
+    cfg = ViTConfig(width=64, depth=2, heads=2, compute_dtype="float32",
+                    remat=False)
+    img = jax.random.normal(KEY, (4, 10, 3, 2))
+    enc = ViTEncoder(cfg)
+    pu = enc.init(KEY, img)
+
+    pf = convert_vit_params(pu, to_fused=True)
+    fused = ViTEncoder(dataclasses.replace(cfg, fused_block_full=True))
+    # the converted tree must BE the fused init tree structurally
+    ref_struct = jax.tree.structure(fused.init(jax.random.PRNGKey(1), img))
+    assert jax.tree.structure(pf) == ref_struct
+
+    got = fused.apply(pf, img)
+    want = enc.apply(pu, img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    back = convert_vit_params(pf, to_fused=False)
+    assert jax.tree.structure(back) == jax.tree.structure(pu)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(pu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(KeyError):
+        convert_vit_params(pf, to_fused=True)   # already fused
+
+
+def test_convert_vit_params_full_policy_tree():
+    """Blocks nested under the actor-critic's `vit` module convert in
+    place; every non-block leaf (GRU, heads, embeddings) is untouched."""
+    from vit_marl_tpu.models import ViTActorCriticRNN
+    from vit_marl_tpu.models.convert import convert_vit_params
+    from vit_marl_tpu.models.rnn import ScannedGRU
+    from vit_marl_tpu.models.vit import ViTConfig
+
+    cfg = ViTConfig(width=64, depth=1, heads=2, compute_dtype="float32",
+                    remat=False)
+    net = ViTActorCriticRNN(action_dim=3, vit=cfg, continuous=False)
+    obs = {"obs": jnp.ones((1, 4, 28)),
+           "vision_obs": jnp.ones((1, 4, 10, 3, 2))}
+    dones = jnp.zeros((1, 4))
+    h = ScannedGRU.initialize_carry(4, 64)
+    pu = net.init(KEY, h, (obs, dones))
+
+    pf = convert_vit_params(pu, to_fused=True)
+    fused_net = ViTActorCriticRNN(
+        action_dim=3, vit=dataclasses.replace(cfg, fused_block_full=True),
+        continuous=False)
+    _, pi_u, vu = net.apply(pu, h, (obs, dones))
+    _, pi_f, vf = fused_net.apply(pf, h, (obs, dones))
+    np.testing.assert_allclose(np.asarray(vu), np.asarray(vf),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pi_u.logits),
+                               np.asarray(pi_f.logits),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_encoder_trains_with_fused_block_full():
     from vit_marl_tpu.models.vit import ViTConfig, ViTEncoder
 

@@ -86,6 +86,10 @@ step runs/r4/bench_vit_16k.txt '"metric"' 1800 \
   python bench.py --envs 16384 --deadline 1680 || exit 1
 step runs/r4/profile_vit.txt 'MFLOP/env' 1800 \
   python tools/profile_vit.py --envs 8192 || exit 1
+# kernel-level A/Bs: one small compile per side — decides every fused
+# default even in a short relay window
+step runs/r4/kernel_bench.txt 'kernel A/Bs' 1500 \
+  python tools/kernel_bench.py --envs 8192 || exit 1
 # NOTE trailing comma: "'n_data_msg': 1," must not prefix-match the
 # earlier "'n_data_msg': 100," row of a partially-completed grid
 step runs/r4/speed_test.txt "'n_exec': 10, 'n_data_msg': 1," 2400 \

@@ -112,9 +112,13 @@ def main():
     results["vit_encoder_fusedblock"] = timed(
         lambda im: encf.apply(efparams, im), img, args.reps)
     # fully-fused block (attention included, one kernel/block); same param
-    # tree as fused_block.  try/except: a VMEM overflow at this width
+    # tree as fused_block.  Gate on the kernel's real engagement predicate
+    # (width/hidden VMEM guards included) so a fallback run is never timed
+    # under the fused label.  try/except: a VMEM overflow at this width
     # should skip the A/B, not kill the whole profile run
-    if B % 64 == 0:
+    from vit_marl_tpu.ops.block_kernel import full_block_ok
+    if full_block_ok(B * 11, 11, cfg.width, cfg.heads,
+                     cfg.width * cfg.mlp_ratio):
         try:
             encff = ViTEncoder(dataclasses.replace(cfg, fused_block_full=True))
             results["vit_encoder_fusedblockfull"] = timed(
@@ -122,7 +126,8 @@ def main():
         except Exception as e:  # pragma: no cover - hardware-dependent
             print(f"skip fused-block-full A/B: {type(e).__name__}: {e}")
     else:
-        print(f"skip fused-block-full A/B: envs={B} not a 64-multiple")
+        print(f"skip fused-block-full A/B: envs={B}/width={cfg.width} "
+              "cannot engage the kernel")
     # rank-3 token layout A/B: rows_2d (the default) runs LN/MLP/residual on
     # flat unpadded (B*N, W) rows; rank-3 (B, 11, W) pads sublanes 11->16
     enc3 = ViTEncoder(dataclasses.replace(cfg, rows_2d=False))

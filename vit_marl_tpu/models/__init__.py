@@ -14,3 +14,4 @@ from vit_marl_tpu.models.distributions import Categorical, SquashedNormal  # noq
 from vit_marl_tpu.models.rnn import ActorCriticRNN, ScannedGRU  # noqa: F401
 from vit_marl_tpu.models.vit import ViTActorCriticRNN, ViTEncoder, VIT_PRESETS  # noqa: F401
 from vit_marl_tpu.models.cnn import VisionAgentCNN  # noqa: F401
+from vit_marl_tpu.models.convert import convert_vit_params  # noqa: F401

@@ -302,8 +302,9 @@ def _full_block_impl(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, bm1,
     rows, w_in = x.shape
     hidden = w1.shape[1]
     blk = env_block * n_tokens
-    if (rows % blk != 0 or w_in > MAX_WIDTH or hidden > 4 * MAX_WIDTH
-            or w_in % heads != 0
+    # single source of truth for the shape predicate: full_block_ok (bench
+    # and profile use it to decide whether the fused label is honest)
+    if (not full_block_ok(rows, n_tokens, w_in, heads, hidden, env_block)
             or (not interpret and jax.default_backend() != "tpu")):
         return _full_block_reference(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2,
                                      w1, bm1, w2, bm2, n_tokens, heads)

@@ -159,6 +159,10 @@ def main():
                         "wandb.agent instead of the offline local grid")
     args = p.parse_args()
 
+    from vit_marl_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # grid trials share compiled shapes
+
     with open(args.config) as f:
         raw = yaml.safe_load(f) or {}
     grid = raw.pop("SWEEP", None)
