@@ -606,3 +606,78 @@ class TestObsSpaceShapes:
                             reward_space="dual_ppo",
                             use_vision_obs=True),), n=(1,))
         self._check(env)
+
+
+class TestMultiInstance:
+    """Per-instance mechanics at >1 agents per type: the reference's PMAP
+    config runs NUM_AGENTS_PER_TYPE=[10, 10] (ref: config/
+    PMAP_ippo_rnn_JAXMARL_2player.yaml), and a round-3 bug (MM messages
+    obs-space shape) only manifested in multi-agent worlds — asymmetric
+    counts catch axis mixups that square configs hide."""
+
+    @pytest.fixture(scope="class")
+    def env32(self):
+        return make_env(n=(3, 2))
+
+    @pytest.fixture(scope="class")
+    def params32(self, env32):
+        return env32.default_params
+
+    def test_obs_reward_done_shapes(self, env32, params32):
+        obs, state = env32.reset(KEY, params32)
+        assert obs[0].shape == (3, 10)
+        assert obs[1].shape == (2, 12)
+        actions = [jnp.zeros(3, jnp.int32), jnp.zeros(2, jnp.int32)]
+        obs2, st2, rewards, dones, info = env32.step_env(
+            KEY, state, actions, params32)
+        assert obs2[0].shape == (3, 10) and obs2[1].shape == (2, 12)
+        assert rewards[0].shape == (3,) and rewards[1].shape == (2,)
+        assert dones["agents"][0].shape == (3,)
+        assert dones["agents"][1].shape == (2,)
+
+    def test_trader_ids_distinct_across_all_instances(self, env32, params32):
+        tids = [int(x) for p in params32.agents
+                for x in np.asarray(p.trader_id)]
+        assert len(tids) == 5
+        assert len(set(tids)) == 5
+
+    def test_order_counter_scales_with_instances(self, env32, params32):
+        _, state = env32.reset(KEY, params32)
+        actions = [jnp.ones(3, jnp.int32), jnp.ones(2, jnp.int32)]
+        _, st2, _, _, _ = env32.step_env(KEY, state, actions, params32)
+        assert int(st2.world.order_id_counter) == \
+            -200 - env32.num_action_msgs_per_step
+
+    def test_per_instance_actions_diverge(self, env32, params32):
+        """Exec instance 0 acts aggressively (fills now), instance 1
+        stays passive — their per-instance task progress must differ."""
+        _, state = env32.reset(KEY, params32)
+        actions = [jnp.zeros(3, jnp.int32), jnp.asarray([1, 0])]
+        _, st2, _, _, _ = env32.step_env(KEY, state, actions, params32)
+        executed = np.asarray(st2.agents[1].quant_executed)
+        assert executed.shape == (2,)
+        assert executed[0] > executed[1]  # aggressive > passive, one step
+
+    def test_vmapped_multi_instance_rollout(self, env32, params32):
+        E = 2
+        keys = jax.random.split(KEY, E)
+        obs, states = jax.vmap(env32.reset, in_axes=(0, None))(
+            keys, params32)
+        actions = [jnp.zeros((E, 3), jnp.int32), jnp.zeros((E, 2), jnp.int32)]
+        obs2, st2, rewards, dones, info = jax.vmap(
+            env32.step, in_axes=(0, 0, [0, 0], None))(
+            keys, states, actions, params32)
+        assert obs2[0].shape == (E, 3, 10)
+        assert rewards[1].shape == (E, 2)
+
+    def test_reference_scale_10x10(self):
+        env = make_env(n=(10, 10))
+        params = env.default_params
+        obs, state = env.reset(KEY, params)
+        assert obs[0].shape == (10, 10) and obs[1].shape == (10, 12)
+        actions = [jnp.ones(10, jnp.int32), jnp.ones(10, jnp.int32)]
+        obs2, st2, rewards, dones, _ = env.step_env(KEY, state, actions,
+                                                    params)
+        assert rewards[0].shape == (10,) and rewards[1].shape == (10,)
+        tids = [int(x) for p in params.agents for x in np.asarray(p.trader_id)]
+        assert len(set(tids)) == 20
