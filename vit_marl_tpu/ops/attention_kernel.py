@@ -40,6 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vit_marl_tpu.ops.tpu_params import row_grid_params
+
 Array = jax.Array
 
 HPAD = 128          # lane-padded head axis for the segment-reduce matmul
@@ -153,6 +155,7 @@ def _kernel_call(qkv: Array, n_tokens: int, heads: int, env_block: int,
         ],
         out_specs=pl.BlockSpec((blk, W), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, W), qkv.dtype),
+        compiler_params=row_grid_params(),
         interpret=interpret,
     )(qkv, sel, bsel)
 

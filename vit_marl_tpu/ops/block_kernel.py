@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from vit_marl_tpu.ops.tpu_params import row_grid_params
+
 Array = jax.Array
 
 ROW_BLOCK = 1024   # rows per grid step
@@ -110,6 +112,7 @@ def _ln_qkv_impl(x, gamma, beta, w, bias, interpret):
         ],
         out_specs=pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, k), x.dtype),
+        compiler_params=row_grid_params(),
         interpret=interpret,
     )(x, gamma.reshape(1, -1), beta.reshape(1, -1), w, bias.reshape(1, -1))
 
@@ -199,6 +202,7 @@ def _proj_mlp_impl(attn_out, x, wp, bp, gamma, beta, w1, b1, w2, b2,
         ],
         out_specs=pl.BlockSpec((ROW_BLOCK, w_in), row),
         out_shape=jax.ShapeDtypeStruct((rows, w_in), x.dtype),
+        compiler_params=row_grid_params(),
         interpret=interpret,
     )(attn_out, x, wp, bp.reshape(1, -1), gamma.reshape(1, -1),
       beta.reshape(1, -1), w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
@@ -334,6 +338,7 @@ def _full_block_impl(x, g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, bm1,
         ],
         out_specs=pl.BlockSpec((blk, w_in), row),
         out_shape=jax.ShapeDtypeStruct((rows, w_in), x.dtype),
+        compiler_params=row_grid_params(),
         interpret=interpret,
     )(x, g1.reshape(1, -1), b1.reshape(1, -1), wqkv, bqkv.reshape(1, -1),
       sel, bsel, wp, bp.reshape(1, -1), g2.reshape(1, -1),
