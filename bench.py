@@ -112,10 +112,6 @@ def main():
                         "realistic serving/training pattern); scan: one fused "
                         "lax.scan rollout")
     p.add_argument("--smoke", action="store_true")
-    p.add_argument("--fused-mlp", action="store_true",
-                   help="use the fused Pallas MLP in ViT blocks "
-                        "(ops/mlp_kernel.py, ROW_BLOCK=2048) for the A/B "
-                        "against XLA's unfused MLP")
     p.add_argument("--fused-block", action="store_true",
                    help="use the fused block-half kernels "
                         "(ops/block_kernel.py: LN1+QKV and "
@@ -169,16 +165,6 @@ def main():
             args.fused_block = False
         else:
             fused_tag = ",fusedblock"
-    elif vit_measured and args.fused_mlp:
-        from vit_marl_tpu.ops.mlp_kernel import ROW_BLOCK as MLP_RB
-        if rows % MLP_RB:
-            print(f"WARNING: rows={rows} (11*envs) is not a multiple of "
-                  f"mlp-kernel ROW_BLOCK={MLP_RB}; the fused-MLP path "
-                  "cannot engage — measuring (and labeling) UNFUSED.",
-                  file=sys.stderr)
-            args.fused_mlp = False
-        else:
-            fused_tag = ",fused"
     if vit_measured and args.attn_kernel:
         from vit_marl_tpu.ops.attention_kernel import attention_ok
         if not attention_ok(args.envs * 11, 11):
@@ -270,7 +256,6 @@ def main():
             num_envs=args.envs,
             network=("gru", "vit_gru") if use_vision else ("gru", "gru"),
             vit_preset=preset,
-            vit_fused_mlp=args.fused_mlp,
             vit_fused_block=args.fused_block,
             vit_fused_block_full=args.fused_block_full,
             vit_attn_kernel=args.attn_kernel)
@@ -441,6 +426,9 @@ def kernel_selfcheck():
         ok &= bool(jnp.array_equal(x, y))
     ok &= bool(jnp.array_equal(xua, kua)) and bool(jnp.array_equal(xub, kub))
 
+    print(f"# book kernel compiled checks (std + random-cancel): "
+          f"{'OK' if ok else 'FAIL'}", file=_sys.stderr)
+
     # attention kernel: compiled Mosaic lowering vs the XLA path at ViT
     # bench shapes (the CPU suite covers interpret mode only)
     from vit_marl_tpu.models.vit import attention_nhd
@@ -524,12 +512,11 @@ def bench_vit_images(args, preset, metric):
     from vit_marl_tpu.models.rnn import ScannedGRU
 
     vit_cfg = VIT_PRESETS[preset]
-    if (args.fused_mlp != vit_cfg.fused_mlp
-            or args.fused_block != vit_cfg.fused_block
+    if (args.fused_block != vit_cfg.fused_block
             or args.fused_block_full != vit_cfg.fused_block_full
             or args.attn_kernel != vit_cfg.attn_kernel):
         vit_cfg = dataclasses.replace(
-            vit_cfg, fused_mlp=args.fused_mlp,
+            vit_cfg,
             fused_block=args.fused_block,
             fused_block_full=args.fused_block_full,
             attn_kernel=args.attn_kernel)

@@ -43,7 +43,6 @@ def main():
     import jax.numpy as jnp
 
     from tools.profile_vit import timed
-    from vit_marl_tpu.ops import mlp_kernel
     from vit_marl_tpu.ops.attention_kernel import (
         _attention_reference,
         fused_short_attention,
@@ -97,17 +96,6 @@ def main():
        lambda v: _proj_mlp_reference(v, x, wp, bp, g2, b2, w1, bm1, w2, bm2),
        lambda v: fused_proj_mlp(v, x, wp, bp, g2, b2, w1, bm1, w2, bm2,
                                 False), attn)
-    if rows % mlp_kernel.ROW_BLOCK == 0:
-        def mlp_xla(v):
-            h = jnp.dot(v, w1, preferred_element_type=jnp.float32)
-            h = jax.nn.gelu((h + bm1).astype(bf16), approximate=True)
-            o = jnp.dot(h, w2, preferred_element_type=jnp.float32)
-            return (o + bm2).astype(bf16)
-
-        ab("mlp", mlp_xla,
-           lambda v: mlp_kernel.fused_mlp(v, w1, bm1, w2, bm2, False), x)
-    else:
-        print(f"skip mlp: rows={rows} % ROW_BLOCK={mlp_kernel.ROW_BLOCK}")
     ab("attention",
        lambda v: _attention_reference(v, N, H),
        lambda v: fused_short_attention(v, N, H), qkv)

@@ -159,55 +159,29 @@ def main():
     results["attn_stack_x12"] = timed(lambda x: astack.apply(aparams, x),
                                       xtok, args.reps)
 
-    # ---- 12x MLP sub-stack (LN + MLP + residual), fused and unfused ----
-    from vit_marl_tpu.ops.mlp_kernel import ROW_BLOCK
-    rows = B * N
-    if rows % ROW_BLOCK != 0:
-        print(f"WARNING: rows={rows} (envs*{N}) is not a multiple of "
-              f"ROW_BLOCK={ROW_BLOCK}; the 'fused' stack silently falls "
-              "back to the UNFUSED path — the A/B below is meaningless at "
-              "this batch size. Use --envs with 11*envs % 2048 == 0 "
-              "(e.g. 8192).", flush=True)
-    for fused in (False, True):
-        c2 = dataclasses.replace(cfg, fused_mlp=fused)
+    # ---- 12x MLP sub-stack (LN + MLP + residual) ----
+    class MLPStack(nn.Module):
+        # NOTE: mirrors Block's MLP branch (models/vit.py) without the
+        # attention half so the MLP cost is isolated.
+        cfg: ViTConfig
 
-        class MLPStack(nn.Module):
-            # NOTE: mirrors Block's MLP branch (models/vit.py) without the
-            # attention half so the MLP cost is isolated — keep the fused
-            # call signature/dtype casts in sync with Block when editing.
-            cfg: ViTConfig
+        @nn.compact
+        def __call__(self, x):
+            c = self.cfg
+            for i in range(c.depth):
+                h = nn.LayerNorm(dtype=jnp.float32,
+                                 name=f"ln{i}")(x).astype(dtype)
+                h = nn.Dense(W * c.mlp_ratio, dtype=dtype,
+                             name=f"mlp1_{i}")(h)
+                h = nn.gelu(h)
+                h = nn.Dense(W, dtype=dtype, name=f"mlp2_{i}")(h)
+                x = x + h
+            return x.astype(jnp.float32)
 
-            @nn.compact
-            def __call__(self, x):
-                from vit_marl_tpu.ops.mlp_kernel import fused_mlp as fmlp
-                c = self.cfg
-                for i in range(c.depth):
-                    h = nn.LayerNorm(dtype=jnp.float32,
-                                     name=f"ln{i}")(x).astype(dtype)
-                    if c.fused_mlp:
-                        init = nn.initializers.lecun_normal()
-                        w1 = self.param(f"w1_{i}", init, (W, W * c.mlp_ratio))
-                        b1 = self.param(f"b1_{i}", nn.initializers.zeros,
-                                        (W * c.mlp_ratio,))
-                        w2 = self.param(f"w2_{i}", init, (W * c.mlp_ratio, W))
-                        b2 = self.param(f"b2_{i}", nn.initializers.zeros, (W,))
-                        Bx, Nx, _ = h.shape
-                        o = fmlp(h.reshape(Bx * Nx, W), w1.astype(dtype), b1,
-                                 w2.astype(dtype), b2, False)
-                        h = o.reshape(Bx, Nx, W)
-                    else:
-                        h = nn.Dense(W * c.mlp_ratio, dtype=dtype,
-                                     name=f"mlp1_{i}")(h)
-                        h = nn.gelu(h)
-                        h = nn.Dense(W, dtype=dtype, name=f"mlp2_{i}")(h)
-                    x = x + h
-                return x.astype(jnp.float32)
-
-        mstack = MLPStack(c2)
-        mparams = mstack.init(key, xtok)
-        label = "mlp_stack_x12_fused" if fused else "mlp_stack_x12"
-        results[label] = timed(lambda x, m=mstack, p=mparams: m.apply(p, x),
-                               xtok, args.reps)
+    mstack = MLPStack(cfg)
+    mparams = mstack.init(key, xtok)
+    results["mlp_stack_x12"] = timed(
+        lambda x, m=mstack, p=mparams: m.apply(p, x), xtok, args.reps)
 
     # ---- LN-only stack (the f32 islands) ----
     class LNStack(nn.Module):

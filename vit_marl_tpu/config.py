@@ -370,15 +370,12 @@ class TrainConfig:
     eval_time_period: str = ""
     eval_data_seed: int = -1         # -1 -> auto (world seed + 1 on synthetic)
     vit_preset: str = "tiny"         # "tiny" | "small" | "base"
-    # use the fused Pallas MLP kernel in ViT blocks (ops/mlp_kernel.py);
-    # falls back to the unfused path off-TPU or for untiled row counts
-    vit_fused_mlp: bool = False
     # use the fused block-half kernels (ops/block_kernel.py: LN1+QKV and
-    # proj+residual+LN2+MLP+residual); takes precedence over vit_fused_mlp
+    # proj+residual+LN2+MLP+residual)
     vit_fused_block: bool = False
     # use the fully-fused block kernel (ops/block_kernel.py::
     # fused_block_full — attention included, one kernel per block); takes
-    # precedence over vit_fused_block / vit_fused_mlp
+    # precedence over vit_fused_block
     vit_fused_block_full: bool = False
     # use the fused short-seq attention kernel (ops/attention_kernel.py);
     # falls back to the XLA path off-TPU or for untiled batch sizes

@@ -37,7 +37,6 @@ from flax.linen.initializers import constant, orthogonal
 
 from vit_marl_tpu.models.distributions import Categorical, SquashedNormal
 from vit_marl_tpu.models.rnn import ScannedGRU
-from vit_marl_tpu.ops.mlp_kernel import fused_mlp
 
 Array = jax.Array
 
@@ -53,18 +52,12 @@ class ViTConfig:
     # T*B images through fwd+bwd at once (e.g. 131k at 1024 envs x 128
     # steps), whose saved activations exceed HBM without remat
     remat: bool = True
-    # fused Pallas MLP (dense->gelu->dense, hidden rows in VMEM); auto-
-    # falls back to the unfused path off-TPU or for untiled row counts.
-    # Default OFF: at ROW_BLOCK=512 it measured 15% slower end-to-end than
-    # XLA's unfused MLP (grid steps re-copy the invariant weight blocks);
-    # the 2048-row variant is unmeasured pending TPU availability
-    fused_mlp: bool = False
     # fused block halves (ops/block_kernel.py): LN1+QKV in one kernel,
     # proj+residual+LN2+MLP+residual in another — attention stays in XLA.
     # Roughly halves per-block HBM traffic.  Default OFF pending hardware
     # measurement; NOTE the param tree differs from the unfused Block
     # (raw kernels instead of Dense submodules), so checkpoints don't
-    # interchange between modes.  Takes precedence over fused_mlp.
+    # interchange between modes.
     fused_block: bool = False
     # fully-fused block (ops/block_kernel.py::fused_block_full): LN1, QKV,
     # the short-seq attention body, projection, both residuals, LN2 and the
@@ -74,7 +67,7 @@ class ViTConfig:
     # two fused modes).  Needs rows grouped by env (rows_2d) and
     # envs % 64 == 0; falls back to the composed XLA reference otherwise.
     # Default OFF pending hardware measurement.  Takes precedence over
-    # fused_block and fused_mlp.
+    # fused_block.
     fused_block_full: bool = False
     # run LN / residual / MLP / projection on flat (B*N, W) rows instead of
     # (B, N, W) tokens.  TPU tiling pads the second-to-minor dim to the
@@ -193,23 +186,9 @@ class Block(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
         x = x + MHA(c, name="attn")(h, n_tokens)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
-        if c.fused_mlp:
-            # dense->gelu->dense with the 4W-wide hidden rows kept in VMEM
-            # (HBM-bandwidth win; see ops/mlp_kernel.py).  Falls back to
-            # the unfused path off-TPU / for untiled row counts.
-            W, H = c.width, c.width * c.mlp_ratio
-            init = nn.initializers.lecun_normal()
-            w1 = self.param("mlp1_kernel", init, (W, H))
-            b1 = self.param("mlp1_bias", nn.initializers.zeros, (H,))
-            w2 = self.param("mlp2_kernel", init, (H, W))
-            b2 = self.param("mlp2_bias", nn.initializers.zeros, (W,))
-            out = fused_mlp(h.reshape(-1, W), w1.astype(dtype),
-                            b1, w2.astype(dtype), b2, False)
-            h = out.reshape(h.shape)
-        else:
-            h = nn.Dense(c.width * c.mlp_ratio, dtype=dtype, name="mlp1")(h)
-            h = nn.gelu(h)
-            h = nn.Dense(c.width, dtype=dtype, name="mlp2")(h)
+        h = nn.Dense(c.width * c.mlp_ratio, dtype=dtype, name="mlp1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(c.width, dtype=dtype, name="mlp2")(h)
         return x + h
 
     def _fused_block(self, x: Array, dtype,

@@ -88,10 +88,18 @@ def _attn_body(x, sel, bsel, n_tokens: int, heads: int):
         back = pltpu.roll(t, N - r, 0)           # row m - (N - r)
         return jnp.where(i_local + r < N, fwd, back)
 
+    # NOTE precision=HIGHEST on every dot: at DEFAULT the TPU MXU
+    # truncates f32 operands to bf16 (one pass), a ~4e-3 relative error
+    # the CPU interpret tests cannot see — caught by bench --selfcheck on
+    # hardware (runs/r4/selfcheck.txt rel err 3.56e-03 FAIL at tol 2e-5).
+    # The dots are (R,W)@(W,128)-shaped segment-sums; the multi-pass f32
+    # cost is noise next to the kernel's HBM win.
+    _PREC = jax.lax.Precision.HIGHEST
+
     def head_logits(r):
         """(R, HPAD) per-head q.k at offset r (f32, MXU segment-sum)."""
         t = q * paired(k, r)                     # (R, W)
-        return jax.lax.dot(t, sel,
+        return jax.lax.dot(t, sel, precision=_PREC,
                            preferred_element_type=jnp.float32)
 
     # pass A: running max over offsets (per row, per head)
@@ -105,11 +113,12 @@ def _attn_body(x, sel, bsel, n_tokens: int, heads: int):
     for r in range(N):
         s = jnp.exp(head_logits(r) - m)          # (R, HPAD)
         l = l + s
-        s_lanes = jax.lax.dot(s, bsel,
+        s_lanes = jax.lax.dot(s, bsel, precision=_PREC,
                               preferred_element_type=jnp.float32)  # (R, W)
         acc = acc + s_lanes * paired(v, r)
 
-    inv = jax.lax.dot(1.0 / l, bsel, preferred_element_type=jnp.float32)
+    inv = jax.lax.dot(1.0 / l, bsel, precision=_PREC,
+                      preferred_element_type=jnp.float32)
     return acc * inv
 
 

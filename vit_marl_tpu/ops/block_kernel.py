@@ -16,8 +16,10 @@ kernels with only x / qkv / attn_out / x' touching HBM:
 
 Per block this roughly halves HBM traffic vs the unfused path (~1.6 GB ->
 ~0.8 GB at 8192 envs); weights load once (constant BlockSpec index maps)
-and the MLP hidden lives in VMEM (same idea as ops/mlp_kernel.py, which
-this supersedes on the block path when enabled).
+and the MLP hidden lives in VMEM (the standalone fused-MLP kernel this
+generalised was deleted after losing its A/B twice: 15% slower than XLA
+at ROW_BLOCK=512 in round 2, 3% slower at 2048 — runs/r4/bench_vit_fused
+.txt 94.5k vs 97.8k unfused env-steps/s).
 
 Numerics match the flax Block within bf16 rounding: LN statistics in f32,
 matmuls with f32 accumulation (``preferred_element_type``), biases added

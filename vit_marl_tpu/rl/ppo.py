@@ -69,12 +69,11 @@ def make_network(cfg: TrainConfig, i: int, action_space, obs_space):
     if kind == "vit_gru":
         import dataclasses as _dc
         vit_cfg = VIT_PRESETS[cfg.vit_preset]
-        if (cfg.vit_fused_mlp != vit_cfg.fused_mlp
-                or cfg.vit_fused_block != vit_cfg.fused_block
+        if (cfg.vit_fused_block != vit_cfg.fused_block
                 or cfg.vit_fused_block_full != vit_cfg.fused_block_full
                 or cfg.vit_attn_kernel != vit_cfg.attn_kernel):
             vit_cfg = _dc.replace(
-                vit_cfg, fused_mlp=cfg.vit_fused_mlp,
+                vit_cfg,
                 fused_block=cfg.vit_fused_block,
                 fused_block_full=cfg.vit_fused_block_full,
                 attn_kernel=cfg.vit_attn_kernel)
