@@ -120,10 +120,12 @@ def main():
                    help="use the fully-fused block kernel "
                         "(ops/block_kernel.py::fused_block_full: attention "
                         "included, one kernel per block)")
-    p.add_argument("--attn-kernel", action="store_true",
+    p.add_argument("--attn-kernel", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="use the fused short-seq attention kernel "
-                        "(ops/attention_kernel.py) in ViT blocks for the "
-                        "A/B against the XLA broadcast-reduce attention")
+                        "(ops/attention_kernel.py) in ViT blocks — the "
+                        "measured default (+33%%, runs/r4); "
+                        "--no-attn-kernel measures the XLA path")
     p.add_argument("--deadline", type=float, default=1500.0,
                    help="hard wall-clock budget (s); on expiry an error "
                         "JSON line is printed and the process exits, so a "
@@ -173,8 +175,9 @@ def main():
                   "engage — measuring (and labeling) the XLA path.",
                   file=sys.stderr)
             args.attn_kernel = False
-        else:
-            fused_tag += ",attnkernel"
+            fused_tag += ",xla-attn"
+    elif vit_measured:
+        fused_tag += ",xla-attn"
     if args.vit_images:
         metric = f"vit_fwd_bwd_images_per_sec[{preset}{fused_tag}]"
         unit = "images/s"

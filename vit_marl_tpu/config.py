@@ -378,8 +378,9 @@ class TrainConfig:
     # precedence over vit_fused_block
     vit_fused_block_full: bool = False
     # use the fused short-seq attention kernel (ops/attention_kernel.py);
-    # falls back to the XLA path off-TPU or for untiled batch sizes
-    vit_attn_kernel: bool = False
+    # falls back to the XLA path off-TPU or for untiled batch sizes.
+    # Default ON (hardware A/B: +33%, runs/r4/bench_vit_attnkernel.txt)
+    vit_attn_kernel: bool = True
     seed: int = 30
     # distributed
     mesh_shape: Tuple[int, ...] = ()   # () -> single device

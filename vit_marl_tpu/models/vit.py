@@ -82,8 +82,13 @@ class ViTConfig:
     # padding is a ~31x HBM blowup at N=11/H=6; the kernel keeps them in
     # VMEM and exchanges only unpadded flat rows.  Needs rows_2d, N <= 32
     # and batch % 64 == 0 (falls back to the XLA path otherwise).
-    # Default OFF pending hardware measurement (tools/profile_vit.py A/B).
-    attn_kernel: bool = False
+    # Default ON: measured +33% end-to-end on hardware — 130,514 vs
+    # 97,765 env-steps/s on the vit-small bench @ 8192 envs
+    # (runs/r4/bench_vit_attnkernel.txt vs bench_vit.txt).  NOTE for
+    # multi-chip meshes: the kernel is batch-parallel; shard the env/batch
+    # axis so each shard's row count stays a 64*N multiple (the per-shard
+    # fallback otherwise silently reverts to the XLA path).
+    attn_kernel: bool = True
 
 
 VIT_PRESETS = {

@@ -57,12 +57,14 @@ def _selection_matrices(heads: int, head_dim: int):
     return jnp.asarray(sel), jnp.asarray(sel.T)
 
 
-def _attn_body(x, sel, bsel, n_tokens: int, heads: int):
+def _attn_body(x, sel, bsel, n_tokens: int, heads: int,
+               exact_f32: bool = False):
     """The in-VMEM attention computation, shared with the fully-fused block
     kernel (ops/block_kernel.py::fused_block_full).
 
     ``x``: (R, 3W) f32 qkv rows; ``sel``/``bsel``: the selection constants.
-    Returns (R, W) f32 attention rows.
+    ``exact_f32``: run the selection dots at full f32 precision (see the
+    precision note below).  Returns (R, W) f32 attention rows.
     """
     N = n_tokens
     R, W3 = x.shape
@@ -88,13 +90,20 @@ def _attn_body(x, sel, bsel, n_tokens: int, heads: int):
         back = pltpu.roll(t, N - r, 0)           # row m - (N - r)
         return jnp.where(i_local + r < N, fwd, back)
 
-    # NOTE precision=HIGHEST on every dot: at DEFAULT the TPU MXU
-    # truncates f32 operands to bf16 (one pass), a ~4e-3 relative error
-    # the CPU interpret tests cannot see — caught by bench --selfcheck on
-    # hardware (runs/r4/selfcheck.txt rel err 3.56e-03 FAIL at tol 2e-5).
-    # The dots are (R,W)@(W,128)-shaped segment-sums; the multi-pass f32
-    # cost is noise next to the kernel's HBM win.
-    _PREC = jax.lax.Precision.HIGHEST
+    # Precision of the selection dots, chosen by the CALLER's input dtype
+    # (_kernel_call sets exact_f32 = (qkv.dtype == f32)):
+    # - f32 inputs (diagnostics, fp32-fidelity tests): HIGHEST.  At
+    #   DEFAULT the Mosaic MXU truncates f32 operands to bf16 (one pass),
+    #   a ~4e-3 relative error invisible to CPU interpret tests — caught
+    #   by bench --selfcheck on hardware (rel err 3.56e-03 at tol 2e-5;
+    #   HIGHEST brings it to 2.4e-7).
+    # - bf16 inputs (the production compute dtype): DEFAULT.  q/k/v are
+    #   already bf16-rounded, so truncating the q·k products adds noise
+    #   of the same order the pipeline already carries, and the multi-
+    #   pass cost of HIGHEST on 34 (R,W)x(W,128)-class dots per block
+    #   (~0.4 GFLOP/env/layer extra) is real.
+    _PREC = (jax.lax.Precision.HIGHEST if exact_f32
+             else jax.lax.Precision.DEFAULT)
 
     def head_logits(r):
         """(R, HPAD) per-head q.k at offset r (f32, MXU segment-sum)."""
@@ -124,8 +133,9 @@ def _attn_body(x, sel, bsel, n_tokens: int, heads: int):
 
 def _attn_kernel(qkv_ref, sel_ref, bsel_ref, out_ref, *, n_tokens: int,
                  heads: int):
+    exact = jnp.dtype(qkv_ref.dtype) == jnp.float32
     out = _attn_body(qkv_ref[...].astype(jnp.float32), sel_ref[...],
-                     bsel_ref[...], n_tokens, heads)
+                     bsel_ref[...], n_tokens, heads, exact_f32=exact)
     out_ref[...] = out.astype(out_ref.dtype)
 
 
