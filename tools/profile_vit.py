@@ -36,15 +36,21 @@ def timed(fn, x, reps=10, warmup=2):
     Every timing ends with a real host fetch (block_until_ready can lie).
     """
     fn = jax.jit(fn)
+    # The sync fetch MUST be a scalar: device_get of the full output drags
+    # the whole tensor through the relay tunnel (~20 MB/s — a (8192,11,384)
+    # f32 output is 138 MB, ~17 s/iteration of pure transfer that swamped
+    # every stage number in the first round-4 profile run;
+    # runs/r4/profile_vit.txt.tunnelbound).  Reduce on device, fetch 4 bytes.
+    sync = jax.jit(lambda o: jnp.sum(jax.tree.leaves(o)[0]))
     out = fn(x)
     jax.block_until_ready(out)
-    float(jax.device_get(jax.tree.leaves(out)[0]).ravel()[0])
+    float(jax.device_get(sync(out)))
     ts = []
     cur = x
     for i in range(reps + warmup):
         t0 = time.time()
         out = fn(cur)
-        float(jax.device_get(jax.tree.leaves(out)[0]).ravel()[0])
+        float(jax.device_get(sync(out)))
         ts.append(time.time() - t0)
         cur = jax.tree.map(
             lambda v: (v * (1.0 + 1e-4)).astype(v.dtype)
