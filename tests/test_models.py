@@ -164,3 +164,28 @@ def test_attention_nhd_matches_einsum_reference():
     want = dot_product_attention(q, k, v, jnp.float32)  # (B, H, N, D)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(got, 2, 1)),
                                np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_block_cls_only_matches_full_compute():
+    """The encoder's last block computes LN2+MLP on CLS rows only
+    (models/vit.py Block.__call__ cls_only): everything after the final
+    attention influences nothing but the CLS output, so the sliced path
+    must equal slicing the full-compute output — in BOTH layouts."""
+    import numpy as np
+    from vit_marl_tpu.models.vit import Block, ViTConfig
+
+    B, N, W = 6, 11, 64
+    for rows_2d in (True, False):
+        cfg = ViTConfig(width=W, depth=2, heads=2, rows_2d=rows_2d,
+                        compute_dtype="float32", remat=False)
+        blk = Block(cfg)
+        key = jax.random.PRNGKey(9)
+        x3 = jax.random.normal(key, (B, N, W), jnp.float32)
+        x = x3.reshape(B * N, W) if rows_2d else x3
+        params = blk.init(KEY, x, N)
+        full = blk.apply(params, x, N, False)
+        full_cls = (full.reshape(B, N, W) if rows_2d else full)[:, 0]
+        short = blk.apply(params, x, N, True)
+        assert short.shape == (B, W)
+        np.testing.assert_array_equal(np.asarray(short),
+                                      np.asarray(full_cls))

@@ -281,3 +281,30 @@ def test_two_process_dcn_update(tmp_path):
             err_msg=f"param leaf {i} diverged between 2-process and "
                     f"single-process runs")
     assert np.isfinite(got["actor_loss"]).all()
+
+
+def test_mesh_disables_pallas_paths():
+    """GSPMD cannot partition pallas_call (it replicates the op across the
+    mesh — all-gather + full batch per chip), so make_train with a multi-
+    device mesh must route the engine and the ViT attention through their
+    XLA equivalents (rl/ppo.py make_train mesh guard)."""
+    from vit_marl_tpu.config import (ExecutionConfig, MultiAgentConfig,
+                                     TrainConfig, WorldConfig)
+    from vit_marl_tpu.env.world import WorldEnv
+    from vit_marl_tpu.parallel import make_mesh
+    from vit_marl_tpu.rl.ppo import make_train
+
+    ma = MultiAgentConfig(
+        world=WorldConfig(n_data_msg_per_step=2, ep_type="fixed_steps",
+                          episode_time=4, start_resolution=4,
+                          n_messages_per_synthetic_day=300),
+        agents=(ExecutionConfig(action_space="simplest_case"),),
+        n_agents_per_type=(1,))
+    env = WorldEnv(ma)
+    assert not env._disable_pallas
+    cfg = TrainConfig(num_envs=8, num_steps=2, num_minibatches=1,
+                      update_epochs=1, total_timesteps=16,
+                      log_backend="none")
+    mesh = make_mesh((8,), ("data",))
+    make_train(ma, cfg, env=env, mesh=mesh)
+    assert env._disable_pallas

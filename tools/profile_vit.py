@@ -25,36 +25,41 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def timed(fn, x, reps=10, warmup=2):
-    """Median seconds per call with inputs that differ EVERY iteration.
+def timed(fn, x, reps=10, warmup=2, inner=8):
+    """Median seconds per call, pipelined ``inner`` calls per sync.
 
-    The axon relay dedupes executions with bit-identical inputs (CLAUDE.md
-    gotcha #2), so each iteration multiplies the carried input by a fresh
-    (1 + 1e-4) factor — a compounding relative perturbation that changes
-    every element's bits every time (an additive epsilon would vanish below
-    half-ULP for elements > ~0.03 and collapse back to identical inputs).
-    Every timing ends with a real host fetch (block_until_ready can lie).
+    Two relay gotchas shape this (CLAUDE.md #2/#2b, both hit this round):
+    - the relay dedupes executions with bit-identical inputs, so every
+      call gets its own pre-perturbed input (compounding (1 + 1e-4)
+      factors — an additive epsilon would vanish below half-ULP);
+    - a sync costs a full HTTP round trip (~60 ms floor observed:
+      runs/r4/ first rerun reported ~62 ms for ln/mlp/attn stacks with
+      100x different FLOPs), and device_get of a full output drags the
+      tensor through the ~20 MB/s tunnel (first run: 17 s/call;
+      *.tunnelbound).  So: dispatch ``inner`` async calls back-to-back,
+      then fetch ONE on-device scalar — the single TPU stream executes
+      in order, so the fetch returning means all ``inner`` are done.
     """
     fn = jax.jit(fn)
-    # The sync fetch MUST be a scalar: device_get of the full output drags
-    # the whole tensor through the relay tunnel (~20 MB/s — a (8192,11,384)
-    # f32 output is 138 MB, ~17 s/iteration of pure transfer that swamped
-    # every stage number in the first round-4 profile run;
-    # runs/r4/profile_vit.txt.tunnelbound).  Reduce on device, fetch 4 bytes.
-    sync = jax.jit(lambda o: jnp.sum(jax.tree.leaves(o)[0]))
-    out = fn(x)
-    jax.block_until_ready(out)
-    float(jax.device_get(sync(out)))
+    # the fetched scalar depends on EVERY output (not just the last), so
+    # the timing is valid even if the relay reorders independent requests
+    sync = jax.jit(lambda os: sum(jnp.sum(jax.tree.leaves(o)[0])
+                                  for o in os))
+    perturb = lambda t, i: jax.tree.map(
+        lambda v: (v * (1.0 + 1e-4) ** (i + 1)).astype(v.dtype)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v, t)
+    xs = [perturb(x, i) for i in range(inner)]
+    jax.block_until_ready(xs)
+    out = fn(x)                                   # compile fn
+    float(jax.device_get(sync([out])))
+    # the wide sync over `inner` outputs compiles during the warmup reps
     ts = []
-    cur = x
-    for i in range(reps + warmup):
+    for r in range(reps + warmup):
         t0 = time.time()
-        out = fn(cur)
-        float(jax.device_get(sync(out)))
-        ts.append(time.time() - t0)
-        cur = jax.tree.map(
-            lambda v: (v * (1.0 + 1e-4)).astype(v.dtype)
-            if jnp.issubdtype(v.dtype, jnp.floating) else v, cur)
+        outs = [fn(xi) for xi in xs]
+        float(jax.device_get(sync(outs)))
+        ts.append((time.time() - t0) / inner)
+        xs = [perturb(xi, r) for xi in xs]        # fresh bits every rep
     ts = sorted(ts[warmup:])
     return ts[len(ts) // 2]
 

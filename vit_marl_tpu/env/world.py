@@ -65,6 +65,14 @@ class WorldEnv:
         # test hook: run the fused Pallas step in interpreter mode on CPU
         # (set immediately after construction, before the first jitted step)
         self._force_pallas_interpret = False
+        # multi-device guard (set by rl.ppo.make_train for mesh.size > 1):
+        # GSPMD cannot partition a pallas_call — under pjit auto-sharding
+        # it REPLICATES the op (all-gather input, full batch on every
+        # chip; verified empirically), so mesh training routes the engine
+        # through the vmapped XLA scan, which shards cleanly.  shard_map
+        # around the env step is the roadmap for keeping the kernel on
+        # pods (docs/DESIGN.md).
+        self._disable_pallas = False
         # perf-ablation hook (profiling only, NOT semantics-preserving):
         # VIT_MARL_ABLATE=reset,obs,build skips those step_vec stages
         import os
@@ -339,6 +347,8 @@ class WorldEnv:
         # records path caps fills per message at REC_K).
         if (self.wcfg.debug_mode
                 and self.wcfg.cancel_mode >= CancelMode.CANCEL_UNIFORM):
+            return False
+        if self._disable_pallas:
             return False
         return (self.wcfg.n_orders % 8 == 0
                 and (jax.default_backend() == "tpu"

@@ -181,15 +181,27 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x: Array, n_tokens: Optional[int] = None) -> Array:
+    def __call__(self, x: Array, n_tokens: Optional[int] = None,
+                 cls_only: bool = False) -> Array:
         """x: (B, N, W) tokens, or flat (B*N, W) rows with ``n_tokens=N``
-        (the rows_2d layout — see ViTConfig.rows_2d)."""
+        (the rows_2d layout — see ViTConfig.rows_2d).
+
+        ``cls_only``: run LN2+MLP on the CLS rows only and return (B, W).
+        Everything after the last block's attention influences nothing but
+        the CLS output, so the encoder sets this on its final block —
+        skipping 10/11 of that block's MLP (the block's FLOP majority) at
+        bit-identical CLS math (per-row ops; same params either way).
+        Not supported on the fused-block paths (they keep full rows)."""
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         if c.fused_block or c.fused_block_full:
             return self._fused_block(x, dtype, n_tokens)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
         x = x + MHA(c, name="attn")(h, n_tokens)
+        if cls_only:
+            # CLS is token 0 of every env (see ViTEncoder.__call__)
+            x = (x.reshape(-1, n_tokens, x.shape[-1])[:, 0]
+                 if x.ndim == 2 else x[:, 0])
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(dtype)
         h = nn.Dense(c.width * c.mlp_ratio, dtype=dtype, name="mlp1")(h)
         h = nn.gelu(h)
@@ -282,15 +294,22 @@ class ViTEncoder(nn.Module):
             # flat (B*N, W) rows: unpadded TPU tiles for every LN/residual/
             # MLP op (rank-3 N=11 pads the sublane dim to 16)
             x = x.reshape(-1, c.width)
-        block_cls = (nn.remat(Block, static_argnums=(2,)) if c.remat
+        block_cls = (nn.remat(Block, static_argnums=(2, 3)) if c.remat
                      else Block)
+        # the last block computes LN2+MLP for the CLS rows only (the rest
+        # influence nothing downstream) — except on the fused-block paths,
+        # whose kernels process full rows
+        cls_short = not (c.fused_block or c.fused_block_full)
         for i in range(c.depth):
-            x = block_cls(c, name=f"block{i}")(x, n_tokens)
-        if c.rows_2d:
-            x = x.reshape(-1, n_tokens, c.width)
-        # final LN commutes with the CLS slice (LN is per-token): slicing
-        # first does 1/n_tokens of the work
-        out = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x[:, 0])
+            last = cls_short and i == c.depth - 1
+            x = block_cls(c, name=f"block{i}")(x, n_tokens, last)
+        if not cls_short:
+            if c.rows_2d:
+                x = x.reshape(-1, n_tokens, c.width)
+            x = x[:, 0]
+        # final LN commutes with the CLS slice (LN is per-token); with
+        # cls_short the last block already returned (B, W) CLS rows
+        out = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         out = out.astype(jnp.float32)               # CLS token
         return out.reshape(lead + (c.width,))
 

@@ -195,6 +195,17 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
     (ref: ippo_rnn_JAXMARL_pmap.py).
     """
     env = env or WorldEnv(ma_config)
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        # GSPMD cannot partition pallas_call ops — under pjit auto-sharding
+        # they get REPLICATED (all-gather input, full batch on every chip).
+        # Route both Pallas hot paths to their XLA equivalents, which GSPMD
+        # shards over the data axis properly.  shard_map around the env
+        # step / encoder is the roadmap for keeping the kernels on pods
+        # (docs/DESIGN.md).
+        env._disable_pallas = True
+        if cfg.vit_attn_kernel:
+            import dataclasses as _dc0
+            cfg = _dc0.replace(cfg, vit_attn_kernel=False)
     if cfg.eval_every and eval_env is None:
         eval_env = _make_eval_env(ma_config, cfg, env)
     logger = logger or Logger(cfg.log_backend, cfg.log_path)
