@@ -26,7 +26,11 @@ from vit_marl_tpu.env import make_world_env
 def run_speed_grid(
     agents_grid: Sequence[Tuple[int, int]] = ((1, 1), (5, 5), (10, 10)),
     n_data_msgs: Sequence[int] = (100, 1),
-    num_envs: int = 4000,
+    # the reference grid uses 4000 envs (Speed_test.py); we round up to
+    # 4096 so the batch is an ENV_BLOCK (128) multiple and the fused
+    # Pallas engine actually engages — at 4000 step_vec silently fell
+    # back to the XLA scan and the grid measured the slow path
+    num_envs: int = 4096,
     num_steps: int = 50,
     csv_path: Optional[str] = None,
 ) -> List[dict]:
