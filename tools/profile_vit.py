@@ -86,7 +86,11 @@ def main():
 
     B = args.envs
     cfg: ViTConfig = VIT_PRESETS[args.preset]
-    cfg = dataclasses.replace(cfg, remat=False)  # forward-only timings
+    # forward-only timings; pin attn_kernel OFF so the "vit_encoder"
+    # baseline row measures the XLA attention path regardless of the
+    # preset default (attn_kernel went default-ON in round 4 — the first
+    # post-flip profile run silently measured kernel-vs-kernel)
+    cfg = dataclasses.replace(cfg, remat=False, attn_kernel=False)
     N = 11  # 10 levels + CLS
     W = cfg.width
     key = jax.random.PRNGKey(0)
