@@ -13,7 +13,11 @@ from vit_marl_tpu.config import make_config
 
 def test_all_shipped_configs_load():
     for p in glob.glob("configs/*.yaml"):
-        ma, tc = make_config(yaml.safe_load(open(p)))
+        raw = yaml.safe_load(open(p))
+        # SWEEP: is the sweep-runner's meta section (rl/sweep.py pops it
+        # before building the base config) — not a TrainConfig field
+        raw.pop("SWEEP", None)
+        ma, tc = make_config(raw)
         assert ma.agents and tc.num_envs > 0
 
 
