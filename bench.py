@@ -243,7 +243,7 @@ def main():
     obs, state = jax.vmap(env.reset, in_axes=(0, None))(reset_keys, params)
 
     if args.policy == "none":
-        def policy_actions(carry, obs, rng):
+        def policy_actions(carry, obs, rng, net_params):
             acts = [jnp.zeros((args.envs,), jnp.int32)]
             a1 = env.action_spaces[1]
             if hasattr(a1, "n"):
@@ -252,6 +252,7 @@ def main():
                 acts.append(jnp.ones((args.envs, 3), jnp.float32) * 0.5)
             return carry, acts
         carry0 = ()
+        net_params = []
     else:
         # `preset` comes from the single policy->preset map at the top of
         # main() (also used for the metric label); the gru network ignores it
@@ -275,7 +276,7 @@ def main():
             net_params.append(pi_params)
             hs.append(h)
 
-        def policy_actions(carry, obs, rng):
+        def policy_actions(carry, obs, rng, net_params):
             hs = list(carry)
             acts = []
             for i in range(n_types):
@@ -292,12 +293,17 @@ def main():
 
     print(f"# pallas engine: {env.pallas_ok}", file=sys.stderr)
 
+    # NOTE the policy params ride in loop_state (a jit ARGUMENT): closed
+    # over, jit inlines every weight tensor as an MLIR constant and the
+    # remote-compile payload carries them — ~345 MB for ViT-Base, which
+    # the relay rejects with HTTP 413 (runs/r4/bench_vit_base.txt) and
+    # which inflated every vit compile upload by the param bytes.
     def one_step(loop_state):
-        key, state, obs, carry = loop_state
+        key, state, obs, carry, net_params = loop_state
         key, krng, kstep = jax.random.split(key, 3)
-        carry, acts = policy_actions(carry, obs, krng)
+        carry, acts = policy_actions(carry, obs, krng, net_params)
         obs, state, rew, dones, _ = env.step_vec(kstep, state, acts, params)
-        return (key, state, obs, carry), rew[0].sum()
+        return (key, state, obs, carry, net_params), rew[0].sum()
 
     def rollout_scan(loop_state):
         def step_fn(ls, _):
@@ -308,7 +314,8 @@ def main():
     if args.mode == "scan":
         rollout_jit = jax.jit(rollout_scan)
         t0 = time.time()
-        ls, _ = jax.block_until_ready(rollout_jit((key, state, obs, carry0)))
+        ls, _ = jax.block_until_ready(
+            rollout_jit((key, state, obs, carry0, net_params)))
         compile_time = time.time() - t0
         t0 = time.time()
         for r in range(args.reps):
@@ -317,7 +324,7 @@ def main():
     else:
         step_jit = jax.jit(one_step)
         t0 = time.time()
-        ls, _ = step_jit((key, state, obs, carry0))
+        ls, _ = step_jit((key, state, obs, carry0, net_params))
         jax.block_until_ready(ls)
         compile_time = time.time() - t0
         t0 = time.time()
