@@ -19,6 +19,10 @@ def test_all_shipped_configs_load():
         raw.pop("SWEEP", None)
         ma, tc = make_config(raw)
         assert ma.agents and tc.num_envs > 0
+        # YAML 1.1 parses "1.0e9" (no sign) as a string — the merge must
+        # coerce it, or num_updates crashes on str // int
+        assert isinstance(tc.total_timesteps, (int, float)), p
+        assert tc.num_updates >= 0
 
 
 def test_case_insensitive_merge():

@@ -436,6 +436,18 @@ def _merge_dataclass(obj, overrides: Dict[str, Any],
     for key, val in overrides.items():
         name = fields.get(key.lower())
         if name is not None:
+            # Coerce string values to the field's runtime type: YAML 1.1
+            # parses unsigned e-notation ("3.0e6") as a STRING, so every
+            # shipped TOTAL_TIMESTEPS loaded as str and num_updates
+            # crashed on str//int unless a --set override masked it.
+            cur = getattr(obj, name)
+            if isinstance(val, str):
+                if isinstance(cur, bool):
+                    val = val.strip().lower() in ("1", "true", "yes", "on")
+                elif isinstance(cur, int):
+                    val = int(float(val))
+                elif isinstance(cur, float):
+                    val = float(val)
             kwargs[name] = val
         elif strict_label and key.lower() not in extra_allowed:
             raise ValueError(
