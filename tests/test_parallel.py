@@ -308,3 +308,38 @@ def test_mesh_disables_pallas_paths():
     mesh = make_mesh((8,), ("data",))
     make_train(ma, cfg, env=env, mesh=mesh)
     assert env._disable_pallas
+
+
+def test_sharded_step_matches_unsharded():
+    """make_sharded_step (shard_map over the env axis, per-env keys riding
+    with their envs) must be bit-equal to the unsharded env.step_vec —
+    the property that makes the Pallas-engine-per-shard pod design safe
+    (parallel/shard_step.py)."""
+    import numpy as np
+    from vit_marl_tpu.config import (ExecutionConfig, MarketMakingConfig,
+                                     MultiAgentConfig, WorldConfig)
+    from vit_marl_tpu.env.world import WorldEnv
+    from vit_marl_tpu.parallel import make_mesh
+    from vit_marl_tpu.parallel.shard_step import make_sharded_step
+
+    ma = MultiAgentConfig(
+        world=WorldConfig(n_data_msg_per_step=8, ep_type="fixed_steps",
+                          episode_time=6, start_resolution=6,
+                          n_messages_per_synthetic_day=1_000),
+        agents=(MarketMakingConfig(), ExecutionConfig()),
+        n_agents_per_type=(1, 1))
+    env = WorldEnv(ma)
+    params = env.default_params
+    E = 16                                   # 2 envs per device on the 8-mesh
+    key = jax.random.PRNGKey(3)
+    reset_keys = jax.random.split(jax.random.fold_in(key, 1), E)
+    obs, states = jax.vmap(env.reset, in_axes=(0, None))(reset_keys, params)
+    actions = [jnp.zeros((E,), jnp.int32),
+               jnp.ones((E,), jnp.int32)]
+
+    want = env.step_vec(key, states, actions, params)
+    mesh = make_mesh((8,), ("data",))
+    got = make_sharded_step(env, mesh)(key, states, actions, params)
+
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

@@ -363,6 +363,26 @@ class WorldEnv:
         kernel over the whole batch when eligible (TPU, deterministic cancel
         modes, batch a multiple of 128), else the vmapped XLA scan.
         """
+        E = states.world.step_counter.shape[0]
+        key, key_step, key_reset = jax.random.split(key, 3)
+        step_keys = jax.random.split(key_step, E)
+        reset_keys = jax.random.split(key_reset, E)
+        return self.step_vec_presplit(step_keys, reset_keys, states,
+                                      actions, params)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step_vec_presplit(self, step_keys: Array, reset_keys: Array,
+                          states: MultiAgentState, actions: List[Any],
+                          params: MultiAgentParams):
+        """``step_vec`` with the per-env key arrays supplied by the caller.
+
+        The split exists for multi-device sharding: per-env keys ride WITH
+        their envs through a ``shard_map`` over the batch axis
+        (parallel/shard_step.py::make_sharded_step), so each shard computes
+        exactly the rows the unsharded call would — bit-equal results while
+        the Pallas engine runs per-shard instead of being replicated by
+        GSPMD (which cannot partition a pallas_call).
+        """
         from vit_marl_tpu.env.common import summary_from_aggs
         from vit_marl_tpu.ops.book_kernel import (
             ENV_BLOCK,
@@ -373,8 +393,6 @@ class WorldEnv:
 
         wcfg = self.wcfg
         E = states.world.step_counter.shape[0]
-        key, key_step, key_reset = jax.random.split(key, 3)
-        step_keys = jax.random.split(key_step, E)
         # per-env (build, engine) keys, derived exactly like step_env's
         # internal split so step_vec stays bit-equal to vmap(step_env);
         # engine randomness must not correlate with the build/shuffle draws
@@ -449,7 +467,6 @@ class WorldEnv:
         if "reset" in self._ablate:
             return obs_st, st_st, rewards, dones, infos
         # vectorized auto-reset (ref: marl_env.py:737-766)
-        reset_keys = jax.random.split(key_reset, E)
         obs_re, st_re = jax.vmap(self.reset_env, in_axes=(0, None))(
             reset_keys, params)
         done = dones["__all__"]
