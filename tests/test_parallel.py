@@ -283,11 +283,13 @@ def test_two_process_dcn_update(tmp_path):
     assert np.isfinite(got["actor_loss"]).all()
 
 
-def test_mesh_disables_pallas_paths():
+def test_mesh_keeps_engine_pallas_via_shard_map():
     """GSPMD cannot partition pallas_call (it replicates the op across the
-    mesh — all-gather + full batch per chip), so make_train with a multi-
-    device mesh must route the engine and the ViT attention through their
-    XLA equivalents (rl/ppo.py make_train mesh guard)."""
+    mesh — all-gather + full batch per chip).  make_train with a multi-
+    device mesh therefore routes the env step through the shard_map
+    wrapper (engine kernel runs per shard; parallel/shard_step.py) and
+    only the ViT attention kernel — which has no shard_map wrapper —
+    falls back to the XLA path.  The engine must NOT be force-disabled."""
     from vit_marl_tpu.config import (ExecutionConfig, MultiAgentConfig,
                                      TrainConfig, WorldConfig)
     from vit_marl_tpu.env.world import WorldEnv
@@ -301,13 +303,12 @@ def test_mesh_disables_pallas_paths():
         agents=(ExecutionConfig(action_space="simplest_case"),),
         n_agents_per_type=(1,))
     env = WorldEnv(ma)
-    assert not env._disable_pallas
     cfg = TrainConfig(num_envs=8, num_steps=2, num_minibatches=1,
                       update_epochs=1, total_timesteps=16,
                       log_backend="none")
     mesh = make_mesh((8,), ("data",))
     make_train(ma, cfg, env=env, mesh=mesh)
-    assert env._disable_pallas
+    assert not env._disable_pallas   # shard_map path keeps the kernel
 
 
 def test_sharded_step_matches_unsharded():

@@ -40,13 +40,21 @@ from jax.experimental.shard_map import shard_map
 Array = jax.Array
 
 
-def make_sharded_step(env, mesh: Mesh, axis: str = "data"):
+def make_sharded_step(env, mesh: Mesh, axis=None):
     """Return ``step(key, states, actions, params)`` sharded over ``axis``.
 
-    Same signature and (bit-equal) results as ``env.step_vec``; the env
-    batch, per-env keys and all outputs are sharded over ``mesh[axis]``,
-    params replicated.  The Pallas engine (when eligible) runs per shard.
+    ``axis`` may be one mesh axis name or a tuple of them (the leading env
+    axis splits over their product — matching ``parallel.mesh.shard_batch``'s
+    default of every ``data``/``*_data`` axis).  Same signature and
+    (bit-equal) results as ``env.step_vec``; the env batch, per-env keys
+    and all outputs are sharded over the data axes, params replicated.
+    The Pallas engine (when eligible per shard) runs per shard.
     """
+    if axis is None:
+        axis = tuple(a for a in mesh.axis_names
+                     if a == "data" or str(a).endswith("_data")) or "data"
+    if isinstance(axis, (tuple, list)) and len(axis) == 1:
+        axis = axis[0]
     env_spec = P(axis)
 
     def spec_like(tree):

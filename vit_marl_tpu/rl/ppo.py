@@ -195,14 +195,18 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
     (ref: ippo_rnn_JAXMARL_pmap.py).
     """
     env = env or WorldEnv(ma_config)
+    env_step_fn = env.step_vec
     if mesh is not None and getattr(mesh, "size", 1) > 1:
         # GSPMD cannot partition pallas_call ops — under pjit auto-sharding
         # they get REPLICATED (all-gather input, full batch on every chip).
-        # Route both Pallas hot paths to their XLA equivalents, which GSPMD
-        # shards over the data axis properly.  shard_map around the env
-        # step / encoder is the roadmap for keeping the kernels on pods
-        # (docs/DESIGN.md).
-        env._disable_pallas = True
+        # The env step therefore goes through an explicit shard_map over
+        # the data axes (parallel/shard_step.py): each device runs the
+        # fused Pallas book kernel on its LOCAL env shard, bit-equal to
+        # the unsharded step.  The ViT attention kernel has no shard_map
+        # wrapper yet, so it falls back to the (cleanly shardable) XLA
+        # attention under a mesh (docs/DESIGN.md).
+        from vit_marl_tpu.parallel.shard_step import make_sharded_step
+        env_step_fn = make_sharded_step(env, mesh)
         if cfg.vit_attn_kernel:
             import dataclasses as _dc0
             cfg = _dc0.replace(cfg, vit_attn_kernel=False)
@@ -280,7 +284,7 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                 actions.append(a.squeeze() if env.n_per_type[i] == 1
                                else a)
             rng, _rng = jax.random.split(rng)
-            obsv, env_state, reward, done, info = env.step_vec(
+            obsv, env_state, reward, done, info = env_step_fn(
                 _rng, env_state, actions, env_params)
             transitions = []
             new_dones = []
