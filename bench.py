@@ -126,6 +126,12 @@ def main():
                         "(ops/attention_kernel.py) in ViT blocks — the "
                         "measured default (+33%%, runs/r4); "
                         "--no-attn-kernel measures the XLA path")
+    p.add_argument("--attn-bwd-kernel", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="use the Pallas backward kernel for the fused "
+                        "attention (affects --vit-images and training; "
+                        "--no-attn-bwd-kernel differentiates the XLA "
+                        "recompute instead)")
     p.add_argument("--deadline", type=float, default=1500.0,
                    help="hard wall-clock budget (s); on expiry an error "
                         "JSON line is printed and the process exits, so a "
@@ -179,6 +185,8 @@ def main():
     elif vit_measured:
         fused_tag += ",xla-attn"
     if args.vit_images:
+        if args.attn_kernel and not args.attn_bwd_kernel:
+            fused_tag += ",xla-bwd"
         metric = f"vit_fwd_bwd_images_per_sec[{preset}{fused_tag}]"
         unit = "images/s"
     elif args.selfcheck:
@@ -262,7 +270,8 @@ def main():
             vit_preset=preset,
             vit_fused_block=args.fused_block,
             vit_fused_block_full=args.fused_block_full,
-            vit_attn_kernel=args.attn_kernel)
+            vit_attn_kernel=args.attn_kernel,
+            vit_attn_bwd_kernel=args.attn_bwd_kernel)
         nets, net_params, hs = [], [], []
         for i in range(n_types):
             net = make_network(tc, i, env.action_spaces[i],
@@ -456,6 +465,24 @@ def kernel_selfcheck():
     print(f"# attention kernel compiled check: rel err {a_err:.2e} "
           f"({'OK' if attn_ok else 'FAIL'})", file=_sys.stderr)
 
+    # attention BACKWARD kernel: compiled Mosaic lowering of the dqkv
+    # kernel vs the XLA vjp of the same math (the round-4 selfcheck
+    # pattern — it caught the scoped-VMEM and f32-precision bugs the
+    # interpret-mode CPU tests cannot see)
+    from vit_marl_tpu.ops.attention_kernel import _attention_reference
+    g_flat = jax.random.normal(jax.random.PRNGKey(8),
+                               (Ba * N, H * D), jnp.float32)
+    _, a_vjp = jax.vjp(lambda x: _attention_reference(x, N, H), qkv_flat)
+    d_ref, = a_vjp(g_flat)
+    d_got = jax.grad(
+        lambda x: jnp.vdot(fused_short_attention(x, N, H), g_flat))(qkv_flat)
+    d_err = float(jnp.max(jnp.abs(d_got - d_ref))
+                  / (jnp.max(jnp.abs(d_ref)) + 1e-9))
+    bwd_ok = d_err < 2e-5
+    ok &= bwd_ok
+    print(f"# attention bwd kernel compiled check: rel err {d_err:.2e} "
+          f"({'OK' if bwd_ok else 'FAIL'})", file=_sys.stderr)
+
     # fully-fused block kernel: compiled lowering vs the composed XLA
     # reference at ViT-Small width (two grid steps of 64 envs) in the
     # PRODUCTION dtype — bf16 x/weights like the flax Block passes (f32
@@ -524,12 +551,14 @@ def bench_vit_images(args, preset, metric):
     vit_cfg = VIT_PRESETS[preset]
     if (args.fused_block != vit_cfg.fused_block
             or args.fused_block_full != vit_cfg.fused_block_full
-            or args.attn_kernel != vit_cfg.attn_kernel):
+            or args.attn_kernel != vit_cfg.attn_kernel
+            or args.attn_bwd_kernel != vit_cfg.attn_bwd_kernel):
         vit_cfg = dataclasses.replace(
             vit_cfg,
             fused_block=args.fused_block,
             fused_block_full=args.fused_block_full,
-            attn_kernel=args.attn_kernel)
+            attn_kernel=args.attn_kernel,
+            attn_bwd_kernel=args.attn_bwd_kernel)
     T, B = 16, max(args.envs // 16, 16)
     net = ViTActorCriticRNN(action_dim=3, vit=vit_cfg,
                             fc_dim=64, hidden_size=64, continuous=True,

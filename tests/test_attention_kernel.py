@@ -61,6 +61,51 @@ def test_backward_matches_reference_grad():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("B,N,H,D", [
+    (128, 11, 6, 64),          # ViT-Small book image
+    (64, 11, 3, 64),
+    (128, 5, 2, 32),
+])
+def test_bwd_kernel_matches_xla_vjp(B, N, H, D):
+    """The Pallas backward kernel's dqkv vs the vjp of the XLA reference,
+    at an arbitrary (non-symmetric) output cotangent."""
+    from vit_marl_tpu.ops.attention_kernel import _bwd_kernel_call
+
+    qkv = jax.random.normal(KEY, (B * N, 3 * H * D), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(9), (B * N, H * D),
+                          jnp.float32)
+    _, vjp = jax.vjp(lambda x: _ref_from_flat(x, N, H), qkv)
+    d_ref, = vjp(g)
+    d_got = _bwd_kernel_call(qkv, g, N, H, 64, True)
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bwd_kernel_toggle_and_dtype():
+    """bwd_kernel=False reproduces the XLA-vjp gradients exactly (the
+    pre-round-4 behaviour) and the kernel path agrees within f32
+    reassociation tolerance; bf16 qkv keeps a bf16 cotangent."""
+    B, N, H, D = 64, 11, 2, 16
+    qkv = jax.random.normal(KEY, (B * N, 3 * H * D), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(9), (B * N, H * D),
+                          jnp.float32)
+
+    def grad_with(bwd_kernel, x):
+        f = lambda t: jnp.vdot(
+            fused_short_attention(t, N, H, 64, True, bwd_kernel), g)
+        return jax.grad(f)(x)
+
+    _, vjp = jax.vjp(lambda x: _ref_from_flat(x, N, H), qkv)
+    d_ref, = vjp(g)
+    np.testing.assert_array_equal(np.asarray(grad_with(False, qkv)),
+                                  np.asarray(d_ref))
+    np.testing.assert_allclose(np.asarray(grad_with(True, qkv)),
+                               np.asarray(d_ref), rtol=2e-5, atol=2e-5)
+
+    d_bf16 = grad_with(True, qkv.astype(jnp.bfloat16))
+    assert d_bf16.dtype == jnp.bfloat16
+
+
 def test_attention_ok_tiling():
     assert attention_ok(64 * 11, 11)
     assert not attention_ok(63 * 11, 11)     # envs not a block multiple

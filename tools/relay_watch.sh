@@ -7,6 +7,7 @@ cd "$(dirname "$0")/.."
 mkdir -p runs
 PROBE_TIMEOUT=${PROBE_TIMEOUT:-300}
 SLEEP=${SLEEP:-240}
+QUEUE=${QUEUE:-tools/chip_queue.sh}
 
 probe() {
   # NONCE: the axon relay dedupes executions with bit-identical inputs
@@ -23,7 +24,7 @@ EOF
 while true; do
   if probe; then
     echo "$(date +%H:%M:%S) relay UP — running chip queue"
-    if bash tools/chip_queue.sh; then
+    if bash "$QUEUE"; then
       echo "$(date +%H:%M:%S) chip queue COMPLETE"
       break
     fi

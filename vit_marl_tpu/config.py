@@ -381,6 +381,10 @@ class TrainConfig:
     # falls back to the XLA path off-TPU or for untiled batch sizes.
     # Default ON (hardware A/B: +33%, runs/r4/bench_vit_attnkernel.txt)
     vit_attn_kernel: bool = True
+    # Pallas backward for the attention kernel (custom-vjp dqkv kernel
+    # instead of the XLA recompute-and-differentiate); only consulted
+    # when vit_attn_kernel engages.
+    vit_attn_bwd_kernel: bool = True
     seed: int = 30
     # distributed
     mesh_shape: Tuple[int, ...] = ()   # () -> single device

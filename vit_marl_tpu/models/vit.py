@@ -89,6 +89,13 @@ class ViTConfig:
     # axis so each shard's row count stays a 64*N multiple (the per-shard
     # fallback otherwise silently reverts to the XLA path).
     attn_kernel: bool = True
+    # Pallas backward for the fused attention (same kernel file): the
+    # custom-vjp backward otherwise recomputes attention in XLA and
+    # differentiates it — paying the (B, N, N, H) tile-padding blowup
+    # twice (recompute + gradient) in every PPO update.  The backward
+    # kernel recomputes flash-style in VMEM and emits dqkv directly.
+    # Only consulted when attn_kernel engages; same fallbacks.
+    attn_bwd_kernel: bool = True
 
 
 VIT_PRESETS = {
@@ -165,7 +172,8 @@ class MHA(nn.Module):
             if attention_ok(B * N, N):
                 # qkv is already the kernel's flat (B*N, 3W) layout;
                 # off-TPU the call falls back to XLA internally
-                out = fused_short_attention(qkv, N, c.heads)
+                out = fused_short_attention(
+                    qkv, N, c.heads, bwd_kernel=c.attn_bwd_kernel)
                 return nn.Dense(W, dtype=dtype, name="proj")(out)
         qkv = qkv.reshape(B, N, 3, c.heads, head_dim)
         if N <= 32:

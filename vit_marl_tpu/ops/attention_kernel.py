@@ -131,6 +131,100 @@ def _attn_body(x, sel, bsel, n_tokens: int, heads: int,
     return acc * inv
 
 
+def _attn_bwd_body(x, g, sel, bsel, n_tokens: int, heads: int,
+                   exact_f32: bool = False):
+    """In-VMEM attention backward: (R, 3W) qkv rows + (R, W) output
+    cotangent -> (R, 3W) qkv cotangent, all f32.
+
+    Same machinery as ``_attn_body`` (offset pairing by sublane rolls,
+    per-head segment-sum/broadcast via the MXU selection constants) plus
+    the inverse pairing ``unpaired`` (row m receives row m-r's value,
+    wrapping within the env) for the dk/dv scatters:
+
+        dv[i+r] += P_r[i] * g[i]            dk[i+r] += dL_r[i] * qs[i]
+        dq[i]   += dL_r[i] * k[i+r] * scale
+        dL = P * (dP - sum_j P*dP)   (softmax bwd), dP_r = segsum(g*v[i+r])
+
+    Per-offset (R, HPAD) stats (exp-logits s_r, dP_r) are stashed across
+    the two accumulation loops so logits are computed exactly twice
+    (max pass + stat pass) — ~8 MB extra VMEM at EB=64, W<=768.
+    """
+    N = n_tokens
+    R, W3 = x.shape
+    W = W3 // 3
+    D = W // heads
+    scale = D ** -0.5
+    qs = x[:, :W] * scale
+    k = x[:, W:2 * W]
+    v = x[:, 2 * W:]
+
+    i_local = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % N
+
+    def paired(t, r):
+        if r == 0:
+            return t
+        fwd = pltpu.roll(t, R - r, 0)            # row m + r
+        back = pltpu.roll(t, N - r, 0)           # row m - (N - r)
+        return jnp.where(i_local + r < N, fwd, back)
+
+    def unpaired(t, r):
+        """Inverse of ``paired``: result[m] = t[m - r] within the env
+        (row m accumulates the contribution row m - r computed for it)."""
+        if r == 0:
+            return t
+        down = pltpu.roll(t, r, 0)               # row m - r
+        up = pltpu.roll(t, R - (N - r), 0)       # row m + (N - r)
+        return jnp.where(i_local >= r, down, up)
+
+    _PREC = (jax.lax.Precision.HIGHEST if exact_f32
+             else jax.lax.Precision.DEFAULT)
+
+    def segsum(t):
+        return jax.lax.dot(t, sel, precision=_PREC,
+                           preferred_element_type=jnp.float32)
+
+    def lanes(t):
+        return jax.lax.dot(t, bsel, precision=_PREC,
+                           preferred_element_type=jnp.float32)
+
+    def head_logits(r):
+        return segsum(qs * paired(k, r))         # (R, HPAD)
+
+    # pass A: running max over offsets
+    m = head_logits(0)
+    for r in range(1, N):
+        m = jnp.maximum(m, head_logits(r))
+
+    # pass B: stash exp-logits and dP per offset; accumulate the softmax
+    # denominator
+    s_list, dp_list = [], []
+    l = jnp.zeros_like(m)
+    for r in range(N):
+        s = jnp.exp(head_logits(r) - m)          # (R, HPAD)
+        s_list.append(s)
+        dp_list.append(segsum(g * paired(v, r))) # (R, HPAD)
+        l = l + s
+    invl = 1.0 / l
+
+    # pass C: delta = sum_r P_r*dP_r, and the dv accumulation
+    delta = jnp.zeros_like(m)
+    dv = jnp.zeros((R, W), jnp.float32)
+    for r in range(N):
+        p = s_list[r] * invl
+        delta = delta + p * dp_list[r]
+        dv = dv + unpaired(lanes(p) * g, r)
+
+    # pass D: dq / dk from the softmax backward
+    dq = jnp.zeros((R, W), jnp.float32)
+    dk = jnp.zeros((R, W), jnp.float32)
+    for r in range(N):
+        dl = s_list[r] * invl * (dp_list[r] - delta)   # (R, HPAD)
+        dll = lanes(dl)                                # (R, W)
+        dq = dq + dll * paired(k, r)
+        dk = dk + unpaired(dll * qs, r)
+    return jnp.concatenate([dq * scale, dk, dv], axis=1)
+
+
 def _attn_kernel(qkv_ref, sel_ref, bsel_ref, out_ref, *, n_tokens: int,
                  heads: int):
     exact = jnp.dtype(qkv_ref.dtype) == jnp.float32
@@ -179,10 +273,45 @@ def _kernel_call(qkv: Array, n_tokens: int, heads: int, env_block: int,
     )(qkv, sel, bsel)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _attn_bwd_kernel(qkv_ref, g_ref, sel_ref, bsel_ref, out_ref, *,
+                     n_tokens: int, heads: int):
+    exact = jnp.dtype(qkv_ref.dtype) == jnp.float32
+    out = _attn_bwd_body(qkv_ref[...].astype(jnp.float32),
+                         g_ref[...].astype(jnp.float32),
+                         sel_ref[...], bsel_ref[...], n_tokens, heads,
+                         exact_f32=exact)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel_call(qkv: Array, g: Array, n_tokens: int, heads: int,
+                     env_block: int, interpret: bool) -> Array:
+    rows, w3 = qkv.shape
+    W = w3 // 3
+    n_envs = rows // n_tokens
+    sel, bsel = _selection_matrices(heads, W // heads)
+    grid = (n_envs // env_block,)
+    blk = env_block * n_tokens
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, n_tokens=n_tokens, heads=heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, w3), lambda i: (i, 0)),
+            pl.BlockSpec((blk, W), lambda i: (i, 0)),
+            pl.BlockSpec((W, HPAD), lambda i: (0, 0)),
+            pl.BlockSpec((HPAD, W), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((blk, w3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, w3), qkv.dtype),
+        compiler_params=row_grid_params(),
+        interpret=interpret,
+    )(qkv, g, sel, bsel)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def fused_short_attention(qkv: Array, n_tokens: int, heads: int,
                           env_block: int = DEF_ENV_BLOCK,
-                          interpret: bool = False) -> Array:
+                          interpret: bool = False,
+                          bwd_kernel: bool = True) -> Array:
     """Attention over flat qkv rows.
 
     ``qkv``: (B*N, 3W) — the fused QKV Dense output in the ``rows_2d``
@@ -193,9 +322,13 @@ def fused_short_attention(qkv: Array, n_tokens: int, heads: int,
     Requires ``(B*N) % (env_block * n_tokens) == 0`` (``attention_ok``);
     falls back to the XLA path off-TPU (unless ``interpret``).
 
-    Differentiable: the backward pass recomputes attention in XLA and
-    differentiates that — the kernel's win is rollout/inference forward
-    HBM traffic; the PPO update's backward keeps XLA's fused gradients.
+    Differentiable: with ``bwd_kernel`` (default) the backward runs the
+    fused Pallas backward kernel (``_attn_bwd_body`` — flash-style
+    recompute + softmax backward, every (B, N, N, H)-class intermediate
+    stays in VMEM; only qkv/g in and dqkv out touch HBM).  With
+    ``bwd_kernel=False`` it recomputes attention in XLA and
+    differentiates that (the pre-round-4 behaviour, kept for A/Bs).
+    Off-TPU both paths fall back to the XLA vjp (unless ``interpret``).
     """
     rows, w3 = qkv.shape
     n_envs = rows // n_tokens
@@ -208,12 +341,16 @@ def fused_short_attention(qkv: Array, n_tokens: int, heads: int,
     return _kernel_call(qkv, n_tokens, heads, env_block, interpret)
 
 
-def _fsa_fwd(qkv, n_tokens, heads, env_block, interpret):
+def _fsa_fwd(qkv, n_tokens, heads, env_block, interpret, bwd_kernel):
     return (fused_short_attention(qkv, n_tokens, heads, env_block,
-                                  interpret), qkv)
+                                  interpret, bwd_kernel), qkv)
 
 
-def _fsa_bwd(n_tokens, heads, env_block, interpret, qkv, g):
+def _fsa_bwd(n_tokens, heads, env_block, interpret, bwd_kernel, qkv, g):
+    on_tpu = interpret or jax.default_backend() == "tpu"
+    if bwd_kernel and on_tpu:
+        return (_bwd_kernel_call(qkv, g, n_tokens, heads, env_block,
+                                 interpret),)
     _, vjp = jax.vjp(
         lambda x: _attention_reference(x, n_tokens, heads), qkv)
     return vjp(g)

@@ -71,12 +71,14 @@ def make_network(cfg: TrainConfig, i: int, action_space, obs_space):
         vit_cfg = VIT_PRESETS[cfg.vit_preset]
         if (cfg.vit_fused_block != vit_cfg.fused_block
                 or cfg.vit_fused_block_full != vit_cfg.fused_block_full
-                or cfg.vit_attn_kernel != vit_cfg.attn_kernel):
+                or cfg.vit_attn_kernel != vit_cfg.attn_kernel
+                or cfg.vit_attn_bwd_kernel != vit_cfg.attn_bwd_kernel):
             vit_cfg = _dc.replace(
                 vit_cfg,
                 fused_block=cfg.vit_fused_block,
                 fused_block_full=cfg.vit_fused_block_full,
-                attn_kernel=cfg.vit_attn_kernel)
+                attn_kernel=cfg.vit_attn_kernel,
+                attn_bwd_kernel=cfg.vit_attn_bwd_kernel)
         return ViTActorCriticRNN(
             action_dim=action_dim, vit=vit_cfg,
             fc_dim=cfg.fc_dim, hidden_size=cfg.hidden_size,
