@@ -156,6 +156,26 @@ def main():
             lambda im: enck.apply(eparams, im), img, args.reps)
     else:
         print(f"skip attn-kernel A/B: envs={B} not a 64-multiple")
+    # attention BACKWARD kernel A/B: encoder fwd+bwd (grad wrt params)
+    # with the Pallas dqkv kernel vs the XLA recompute-and-differentiate
+    # custom-vjp backward (both use the forward attention kernel)
+    if attention_ok(B * 11, 11):
+        def grad_norm(enc_mod):
+            def f(im):
+                g = jax.grad(lambda p: jnp.sum(
+                    enc_mod.apply(p, im).astype(jnp.float32) ** 2))(eparams)
+                # scalar result keeps the timing sync cheap (CLAUDE.md 2b)
+                return sum(jnp.vdot(x, x).real
+                           for x in jax.tree.leaves(g)).astype(jnp.float32)
+            return f
+        enck_b = ViTEncoder(dataclasses.replace(
+            cfg, attn_kernel=True, attn_bwd_kernel=True))
+        enck_x = ViTEncoder(dataclasses.replace(
+            cfg, attn_kernel=True, attn_bwd_kernel=False))
+        results["vit_encoder_fwdbwd_bwdkernel"] = timed(
+            grad_norm(enck_b), img, args.reps)
+        results["vit_encoder_fwdbwd_xlabwd"] = timed(
+            grad_norm(enck_x), img, args.reps)
 
     # ---- 12x attention sub-stack (LN + MHA + residual) ----
     class AttnStack(nn.Module):
