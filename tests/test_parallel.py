@@ -344,3 +344,78 @@ def test_sharded_step_matches_unsharded():
 
     for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_mesh_sharded_attention_matches_unsharded():
+    """short_attention under an active mesh context: the kernel call is
+    shard_mapped over the data axis and must be bit-equal to the
+    unsharded call (attention is per-env math; fwd AND grad)."""
+    import jax.numpy as jnp
+
+    from vit_marl_tpu.ops.attention_kernel import (
+        mesh_attention_ok,
+        restore_attention_mesh,
+        set_attention_mesh,
+        short_attention,
+    )
+
+    mesh = make_mesh((8,), ("data",))
+    N, H, D = 11, 2, 16
+    B = 8 * 64                       # 64 envs per shard: kernel-eligible
+    qkv = jax.random.normal(KEY, (B * N, 3 * H * D), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(5), (B * N, H * D),
+                          jnp.float32)
+
+    def loss(fn, x):
+        return jnp.vdot(fn(x, N, H), g)
+
+    base = short_attention(qkv, N, H)
+    gbase = jax.grad(lambda x: loss(short_attention, x))(qkv)
+
+    prev = set_attention_mesh(mesh)
+    try:
+        assert mesh_attention_ok(B * N, N)
+        # per-shard tiling violated -> caller must fall back
+        assert not mesh_attention_ok(63 * 8 * N, N)
+        got = jax.jit(lambda x: short_attention(x, N, H))(qkv)
+        ggot = jax.jit(jax.grad(lambda x: loss(short_attention, x)))(qkv)
+    finally:
+        restore_attention_mesh(prev)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gbase),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mesh_training_keeps_attn_kernel_config():
+    """make_train with a mesh no longer force-disables vit_attn_kernel:
+    the mesh context + per-shard eligibility gate handles it (ineligible
+    shapes fall back inside MHA).  One vision update on the 8-dev mesh
+    must run and match the single-device run."""
+    wcfg = WorldConfig(n_data_msg_per_step=5, ep_type="fixed_steps",
+                       episode_time=4, start_resolution=4,
+                       n_messages_per_synthetic_day=600)
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(),
+                ExecutionConfig(action_space="policy_blending",
+                                observation_space="execution_policy",
+                                reward_space="dual_ppo",
+                                use_vision_obs=True)),
+        n_agents_per_type=(1, 1))
+    tc = TrainConfig(num_envs=16, num_steps=4, num_minibatches=2,
+                     update_epochs=1, total_timesteps=16 * 4,
+                     log_backend="none", rollout_mode="scan",
+                     network=("gru", "vit_gru"), vit_preset="micro",
+                     vit_attn_kernel=True)
+    mesh = make_mesh((8,), ("data",))
+    out = make_train(ma, tc, mesh=mesh)(KEY)
+    m = out["metrics"][0]
+    for k, v in m.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    out2 = make_train(ma, tc)(KEY)
+    for k in m:
+        np.testing.assert_allclose(np.asarray(m[k]),
+                                   np.asarray(out2["metrics"][0][k]),
+                                   rtol=2e-4, atol=1e-5)

@@ -166,13 +166,16 @@ class MHA(nn.Module):
         qkv = nn.Dense(3 * W, dtype=dtype, name="qkv")(x)
         if c.attn_kernel and x.ndim == 2 and N <= 32:
             from vit_marl_tpu.ops.attention_kernel import (
-                attention_ok,
-                fused_short_attention,
+                mesh_attention_ok,
+                short_attention,
             )
-            if attention_ok(B * N, N):
+            if mesh_attention_ok(B * N, N):
                 # qkv is already the kernel's flat (B*N, 3W) layout;
-                # off-TPU the call falls back to XLA internally
-                out = fused_short_attention(
+                # off-TPU the call falls back to XLA internally.  Under an
+                # active mesh context (make_train with a mesh) the call is
+                # shard_mapped over the data axes so the kernel runs per
+                # shard — GSPMD would otherwise replicate the pallas_call
+                out = short_attention(
                     qkv, N, c.heads, bwd_kernel=c.attn_bwd_kernel)
                 return nn.Dense(W, dtype=dtype, name="proj")(out)
         qkv = qkv.reshape(B, N, 3, c.heads, head_dim)

@@ -363,3 +363,72 @@ def attention_ok(rows: int, n_tokens: int,
                  env_block: int = DEF_ENV_BLOCK) -> bool:
     """Whether the kernel's tiling constraint holds for this batch."""
     return rows % n_tokens == 0 and (rows // n_tokens) % env_block == 0
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded wrapper (docs/DESIGN.md roadmap item): GSPMD cannot partition
+# a pallas_call — under pjit auto-sharding it REPLICATES the op (all-gather
+# the input, full batch on every chip; verified on the CPU mesh, round 4).
+# The fix is the same recipe as the env step (parallel/shard_step.py): run
+# the kernel per shard inside an explicit shard_map over the data axes.
+# make_train sets the active mesh for the duration of a mesh-training run
+# (set/restore around train()); everything else sees ctx None and the plain
+# single-device call.  Attention is per-env math, so sharding the row axis
+# at env boundaries is bit-equal to the unsharded call.
+
+_MESH_CTX = None   # None | (Mesh, axis-name-or-tuple)
+
+
+def set_attention_mesh(mesh, axis=None):
+    """Activate mesh-sharded attention; returns the previous context for
+    ``restore_attention_mesh``.  ``mesh=None`` (or size 1) deactivates."""
+    global _MESH_CTX
+    prev = _MESH_CTX
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        _MESH_CTX = None
+        return prev
+    if axis is None:
+        axis = tuple(a for a in mesh.axis_names
+                     if a == "data" or str(a).endswith("_data")) \
+            or (mesh.axis_names[0],)
+    if isinstance(axis, (tuple, list)) and len(axis) == 1:
+        axis = axis[0]
+    _MESH_CTX = (mesh, axis)
+    return prev
+
+
+def restore_attention_mesh(prev) -> None:
+    global _MESH_CTX
+    _MESH_CTX = prev
+
+
+def mesh_attention_ok(rows: int, n_tokens: int,
+                      env_block: int = DEF_ENV_BLOCK) -> bool:
+    """``attention_ok`` for the active context: with a mesh, every shard's
+    LOCAL rows must satisfy the kernel tiling (and rows must split evenly
+    at env boundaries over the data axes)."""
+    if _MESH_CTX is None:
+        return attention_ok(rows, n_tokens, env_block)
+    mesh, axis = _MESH_CTX
+    names = axis if isinstance(axis, tuple) else (axis,)
+    nd = 1
+    for a in names:
+        nd *= mesh.shape[a]
+    return rows % nd == 0 and attention_ok(rows // nd, n_tokens, env_block)
+
+
+def short_attention(qkv: Array, n_tokens: int, heads: int,
+                    bwd_kernel: bool = True) -> Array:
+    """``fused_short_attention``, shard_mapped over the active mesh context
+    (if any).  Callers gate on ``mesh_attention_ok`` first."""
+    if _MESH_CTX is None:
+        return fused_short_attention(qkv, n_tokens, heads,
+                                     bwd_kernel=bwd_kernel)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    mesh, axis = _MESH_CTX
+    f = shard_map(
+        lambda x: fused_short_attention(x, n_tokens, heads, DEF_ENV_BLOCK,
+                                        False, bwd_kernel),
+        mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_rep=False)
+    return f(qkv)

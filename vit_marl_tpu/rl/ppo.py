@@ -201,17 +201,14 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
     if mesh is not None and getattr(mesh, "size", 1) > 1:
         # GSPMD cannot partition pallas_call ops — under pjit auto-sharding
         # they get REPLICATED (all-gather input, full batch on every chip).
-        # The env step therefore goes through an explicit shard_map over
-        # the data axes (parallel/shard_step.py): each device runs the
-        # fused Pallas book kernel on its LOCAL env shard, bit-equal to
-        # the unsharded step.  The ViT attention kernel has no shard_map
-        # wrapper yet, so it falls back to the (cleanly shardable) XLA
-        # attention under a mesh (docs/DESIGN.md).
+        # Both Pallas paths therefore go through explicit shard_maps over
+        # the data axes: the env step via parallel/shard_step.py (each
+        # device runs the fused book kernel on its LOCAL env shard), and
+        # the ViT attention kernel via the mesh context set around train()
+        # below (ops/attention_kernel.py::short_attention) — per-shard
+        # tiling permitting, with the XLA attention as the fallback.
         from vit_marl_tpu.parallel.shard_step import make_sharded_step
         env_step_fn = make_sharded_step(env, mesh)
-        if cfg.vit_attn_kernel:
-            import dataclasses as _dc0
-            cfg = _dc0.replace(cfg, vit_attn_kernel=False)
     if cfg.eval_every and eval_env is None:
         eval_env = _make_eval_env(ma_config, cfg, env)
     logger = logger or Logger(cfg.log_backend, cfg.log_path)
@@ -553,4 +550,21 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         return {"runner_state": runner_state, "metrics": metrics_history,
                 "networks": networks}
 
-    return train
+    def train_with_mesh_ctx(rng: Array):
+        # Activate (or clear) the mesh-sharded attention context for the
+        # duration of this run: every jit trace under train() sees the
+        # right context, and concurrent/later single-device runs are not
+        # polluted (set/restore, ops/attention_kernel.py).
+        from vit_marl_tpu.ops.attention_kernel import (
+            restore_attention_mesh,
+            set_attention_mesh,
+        )
+        prev = set_attention_mesh(
+            mesh if (mesh is not None and getattr(mesh, "size", 1) > 1
+                     and cfg.vit_attn_kernel) else None)
+        try:
+            return train(rng)
+        finally:
+            restore_attention_mesh(prev)
+
+    return train_with_mesh_ctx
