@@ -24,6 +24,10 @@ import os
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None)
+    p.add_argument("--set", action="append", default=[], dest="sets",
+                   metavar="KEY=VALUE",
+                   help="override a config key (must match the training "
+                        "run's overrides, or the checkpoint won't restore)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax checkpoint dir; omit for random 'learned' "
                         "policies (harness smoke test)")
@@ -38,9 +42,15 @@ def main():
                    help="take distribution modes instead of sampling "
                         "(default samples, matching the reference eval — "
                         "ref: baseline_JAXMARL.py samples from pi)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars don't override the "
+                        "preset axon platform; jax.config does)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
     import yaml
 
@@ -67,6 +77,8 @@ def main():
     if args.config:
         with open(args.config) as f:
             raw = yaml.safe_load(f) or {}
+    from vit_marl_tpu.utils.cli import apply_set_overrides
+    apply_set_overrides(raw, args.sets)
     ma_config, train_config = make_config(raw)
     env = WorldEnv(ma_config)
     params = env.default_params

@@ -22,9 +22,15 @@ def main():
     p.add_argument("--timing", action="store_true",
                    help="report steps/sec after training "
                         "(ref: ippo_rnn_JAXMARL.py Timing mode)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars don't override the "
+                        "preset axon platform; jax.config does)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import yaml
 
     from vit_marl_tpu.config import make_config
@@ -38,33 +44,8 @@ def main():
     if args.config:
         with open(args.config) as f:
             raw = yaml.safe_load(f) or {}
-    for kv in args.set:
-        key, val = kv.split("=", 1)
-        # YAML 1.1 parses "1.2e8" as a string (needs the + sign); accept
-        # plain scientific notation on the CLI
-        try:
-            num = float(val)
-            parsed = int(num) if num == int(num) and "." not in val \
-                and "e" not in val.lower() else num
-        except ValueError:
-            parsed = yaml.safe_load(val)
-        # dotted keys reach nested sections, e.g.
-        # --set AGENT_CONFIGS.Execution.BLEND_AGGRESSIVE=true
-        # Segments match existing YAML keys case-insensitively (a CLI
-        # "EXECUTION" must merge into the file's "Execution" section, not
-        # create a second agent). make_config is strict: unknown keys
-        # raise instead of silently doing nothing.
-        parts = key.split(".")
-        node = raw
-        for p in parts[:-1]:
-            match = next((k for k in node if k.lower() == p.lower()), None)
-            if match is None or not isinstance(node[match], dict):
-                match = p.upper()
-                node[match] = {}
-            node = node[match]
-        last = next((k for k in node if k.lower() == parts[-1].lower()),
-                    parts[-1].upper())
-        node[last] = parsed
+    from vit_marl_tpu.utils.cli import apply_set_overrides
+    apply_set_overrides(raw, args.set)
 
     ma_config, train_config = make_config(raw)
     if args.seed is not None:
