@@ -107,10 +107,16 @@ def main():
                    help="run the compiled (non-interpret) Pallas kernel "
                         "vs XLA engine bit-equality check at bench shapes "
                         "on the current device, then exit")
-    p.add_argument("--mode", default="loop", choices=["loop", "scan"],
+    p.add_argument("--mode", default="loop",
+                   choices=["loop", "scan", "pipeline", "pipeline-seq"],
                    help="loop: Python-dispatched steps (async-pipelined, the "
                         "realistic serving/training pattern); scan: one fused "
-                        "lax.scan rollout")
+                        "lax.scan rollout; pipeline: split-batch software "
+                        "pipeline (env step for one half merged into one "
+                        "program with the policy forward for the other — "
+                        "rl/pipeline.py); pipeline-seq: the identical "
+                        "half-batch schedule WITHOUT merging (isolates the "
+                        "merge effect from the half-batch effect)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--fused-block", action="store_true",
                    help="use the fused block-half kernels "
@@ -132,6 +138,10 @@ def main():
                         "attention (affects --vit-images and training; "
                         "--no-attn-bwd-kernel differentiates the XLA "
                         "recompute instead)")
+    p.add_argument("--attn-ln-fold", action="store_true",
+                   help="fold LN1+QKV into the attention kernel "
+                        "(ops/block_kernel.py::fused_ln_qkv_attn); "
+                        "proj/LN2/MLP stay in XLA")
     p.add_argument("--deadline", type=float, default=1500.0,
                    help="hard wall-clock budget (s); on expiry an error "
                         "JSON line is printed and the process exits, so a "
@@ -184,6 +194,18 @@ def main():
             fused_tag += ",xla-attn"
     elif vit_measured:
         fused_tag += ",xla-attn"
+    if vit_measured and args.attn_ln_fold:
+        from vit_marl_tpu.ops.block_kernel import ln_qkv_attn_ok
+        from vit_marl_tpu.models.vit import VIT_PRESETS as _VPF
+        _cf = _VPF[preset]
+        if not ln_qkv_attn_ok(rows, 11, _cf.width, _cf.heads):
+            print(f"WARNING: envs={args.envs} / width={_cf.width} cannot "
+                  "engage the LN1+QKV+attention fold kernel (needs envs % "
+                  "64 == 0 and width <= 512); measuring (and labeling) "
+                  "the unfolded path.", file=sys.stderr)
+            args.attn_ln_fold = False
+        else:
+            fused_tag += ",lnfold"
     if args.vit_images:
         if args.attn_kernel and not args.attn_bwd_kernel:
             fused_tag += ",xla-bwd"
@@ -271,7 +293,8 @@ def main():
             vit_fused_block=args.fused_block,
             vit_fused_block_full=args.fused_block_full,
             vit_attn_kernel=args.attn_kernel,
-            vit_attn_bwd_kernel=args.attn_bwd_kernel)
+            vit_attn_bwd_kernel=args.attn_bwd_kernel,
+            vit_attn_ln_fold=args.attn_ln_fold)
         nets, net_params, hs = [], [], []
         for i in range(n_types):
             net = make_network(tc, i, env.action_spaces[i],
@@ -320,7 +343,59 @@ def main():
         ls, rsum = jax.lax.scan(step_fn, loop_state, None, args.steps)
         return ls, rsum.sum()
 
-    if args.mode == "scan":
+    if args.mode.startswith("pipeline"):
+        if args.policy == "none":
+            print("pipeline mode needs a policy in the loop", file=sys.stderr)
+            raise SystemExit(2)
+        if args.envs % 2:
+            print("pipeline mode needs an even env count", file=sys.stderr)
+            raise SystemExit(2)
+        from vit_marl_tpu.rl.pipeline import make_pipelined_runner, split_half
+
+        half = args.envs // 2
+
+        def policy_half_fn(nparams, pol_state, obs_h):
+            pkey, hs = pol_state
+            pkey, krng = jax.random.split(pkey)
+            hs = list(hs)
+            acts = []
+            for i in range(n_types):
+                obs_i = jax.tree.map(
+                    lambda v: v.reshape((half,) + v.shape[2:])[None],
+                    obs_h[i])
+                hs[i], pi, _ = nets[i].apply(
+                    nparams[i], hs[i], (obs_i, jnp.zeros((1, half))))
+                a = pi.sample(seed=krng)
+                acts.append(jax.tree.map(lambda v: v[0], a))
+            return (pkey, tuple(hs)), acts, ()
+
+        def env_half_fn(nparams, env_carry, acts):
+            ekey, st = env_carry
+            ekey, kstep = jax.random.split(ekey)
+            obs_h, st, rew, dones, _ = env.step_vec(kstep, st, acts, params)
+            return (ekey, st), obs_h, rew[0].sum()
+
+        run = make_pipelined_runner(policy_half_fn, env_half_fn,
+                                    merged=(args.mode == "pipeline"))
+        kp, ke = jax.random.split(key)
+        kps, kes = jax.random.split(kp, 2), jax.random.split(ke, 2)
+        pol_states = [(kps[h], tuple(split_half(c, h, half)
+                                     for c in carry0)) for h in (0, 1)]
+        env_states = [(kes[h], split_half(state, h, half)) for h in (0, 1)]
+        pol_ins = [[split_half(o, h, half) for o in obs] for h in (0, 1)]
+        t0 = time.time()
+        pol_states, env_states, pol_ins, _, eouts = run(
+            net_params, pol_states, env_states, pol_ins, args.steps)
+        float(jax.device_get(eouts[0][-1] + eouts[1][-1]))
+        compile_time = time.time() - t0
+        t0 = time.time()
+        for r in range(args.reps):
+            pol_states, env_states, pol_ins, _, eouts = run(
+                net_params, pol_states, env_states, pol_ins, args.steps)
+        # sync on both halves' final env programs (in-order stream; the sum
+        # covers the case of independent-request reordering on the relay)
+        float(jax.device_get(eouts[0][-1] + eouts[1][-1]))
+    elif args.mode == "scan":
         rollout_jit = jax.jit(rollout_scan)
         t0 = time.time()
         ls, _ = jax.block_until_ready(
@@ -519,6 +594,28 @@ def kernel_selfcheck():
     print(f"# fused-block-full compiled check: rel err {fb_err:.2e} "
           f"({'OK' if fb_ok else 'FAIL'})", file=_sys.stderr)
 
+    # LN1+QKV+attention fold: compiled lowering vs the composed XLA
+    # reference in the production dtype (bf16 x/weights; f32 LN params) —
+    # same tolerance rationale as the fused-block check above
+    from vit_marl_tpu.ops.block_kernel import (
+        _ln_qkv_attn_reference,
+        fused_ln_qkv_attn,
+    )
+    ksl = jax.random.split(jax.random.PRNGKey(13), 5)
+    lf_args = ((jax.random.normal(ksl[0], (128 * N, Wf)) * 0.5).astype(bf16),
+               jax.random.normal(ksl[1], (Wf,)) * 0.1 + 1.0,
+               jax.random.normal(ksl[2], (Wf,)) * 0.1,
+               (jax.random.normal(ksl[3], (Wf, 3 * Wf)) * 0.05).astype(bf16),
+               jax.random.normal(ksl[4], (3 * Wf,)) * 0.1)
+    lf_got = fused_ln_qkv_attn(*lf_args, N, Hf).astype(jnp.float32)
+    lf_ref = _ln_qkv_attn_reference(*lf_args, N, Hf).astype(jnp.float32)
+    lf_err = float(jnp.max(jnp.abs(lf_got - lf_ref))
+                   / (jnp.max(jnp.abs(lf_ref)) + 1e-9))
+    lf_ok = lf_err < 2e-2
+    ok &= lf_ok
+    print(f"# ln_qkv_attn fold compiled check: rel err {lf_err:.2e} "
+          f"({'OK' if lf_ok else 'FAIL'})", file=_sys.stderr)
+
     import json as _json
     print(_json.dumps({"metric": "kernel_selfcheck_ok",
                        "value": 1.0 if ok else 0.0, "unit": "bool",
@@ -552,13 +649,15 @@ def bench_vit_images(args, preset, metric):
     if (args.fused_block != vit_cfg.fused_block
             or args.fused_block_full != vit_cfg.fused_block_full
             or args.attn_kernel != vit_cfg.attn_kernel
-            or args.attn_bwd_kernel != vit_cfg.attn_bwd_kernel):
+            or args.attn_bwd_kernel != vit_cfg.attn_bwd_kernel
+            or args.attn_ln_fold != vit_cfg.attn_ln_fold):
         vit_cfg = dataclasses.replace(
             vit_cfg,
             fused_block=args.fused_block,
             fused_block_full=args.fused_block_full,
             attn_kernel=args.attn_kernel,
-            attn_bwd_kernel=args.attn_bwd_kernel)
+            attn_bwd_kernel=args.attn_bwd_kernel,
+            attn_ln_fold=args.attn_ln_fold)
     T, B = 16, max(args.envs // 16, 16)
     net = ViTActorCriticRNN(action_dim=3, vit=vit_cfg,
                             fc_dim=64, hidden_size=64, continuous=True,

@@ -306,3 +306,113 @@ def test_encoder_trains_with_fused_block():
     norms = [float(jnp.abs(v).max()) for v in jax.tree.leaves(g)]
     assert all(np.isfinite(norms))
     assert max(norms) > 0
+
+
+# ---------------------------------------------------------------------------
+# LN1+QKV+attention fold (fused_ln_qkv_attn)
+# ---------------------------------------------------------------------------
+
+def _ln_qkv_attn_args(envs, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(5), 5)
+    return (jax.random.normal(ks[0], (envs * N_TOK, W), dtype),
+            jax.random.normal(ks[1], (W,)) * 0.1 + 1.0,
+            jax.random.normal(ks[2], (W,)) * 0.1,
+            (jax.random.normal(ks[3], (W, 3 * W)) * 0.05).astype(dtype),
+            jax.random.normal(ks[4], (3 * W,)) * 0.1)
+
+
+def test_ln_qkv_attn_matches_composed_reference_tiled():
+    """Interpret-mode kernel == LN+QKV reference into the attention
+    reference (two grid steps of env_block=8)."""
+    from vit_marl_tpu.ops.block_kernel import (
+        _ln_qkv_attn_reference,
+        fused_ln_qkv_attn,
+    )
+
+    args = _ln_qkv_attn_args(16)
+    got = fused_ln_qkv_attn(*args, N_TOK, HEADS, 8, True)
+    want = _ln_qkv_attn_reference(*args, N_TOK, HEADS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ln_qkv_attn_fallback_unaligned():
+    from vit_marl_tpu.ops.block_kernel import (
+        _ln_qkv_attn_reference,
+        fused_ln_qkv_attn,
+    )
+
+    args = _ln_qkv_attn_args(9)               # 9 envs % env_block=8 != 0
+    got = fused_ln_qkv_attn(*args, N_TOK, HEADS, 8, True)
+    want = _ln_qkv_attn_reference(*args, N_TOK, HEADS)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("bwd_kernel", [True, False],
+                         ids=["pallas-bwd", "xla-bwd"])
+def test_ln_qkv_attn_vjp_matches_reference(bwd_kernel):
+    """The custom VJP (XLA qkv recompute chained through the Pallas
+    attention backward, or the full XLA vjp) == jax.vjp of the composed
+    reference."""
+    from vit_marl_tpu.ops.block_kernel import (
+        _ln_qkv_attn_reference,
+        fused_ln_qkv_attn,
+    )
+
+    args = _ln_qkv_attn_args(8)
+    out, vjp = jax.vjp(
+        lambda *a: fused_ln_qkv_attn(*a, N_TOK, HEADS, 8, True, bwd_kernel),
+        *args)
+    out_r, vjp_r = jax.vjp(
+        lambda *a: _ln_qkv_attn_reference(*a, N_TOK, HEADS), *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+    g = jax.random.normal(jax.random.PRNGKey(1), out.shape, out.dtype)
+    for got, want in zip(vjp(g), vjp_r(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_flax_block_attn_ln_fold_matches_fused_tree():
+    """cfg.attn_ln_fold shares the fused-family param tree and (on CPU,
+    where all fused paths fall back to their XLA references) matches the
+    fused_block output; cls_only returns the (B, W) CLS rows equal to
+    slicing the full output."""
+    from vit_marl_tpu.models.vit import Block, ViTConfig
+
+    cfg = ViTConfig(width=64, depth=1, heads=2, compute_dtype="float32",
+                    remat=False, attn_ln_fold=True)
+    B, N = 8, 11
+    x = jax.random.normal(KEY, (B * N, 64), jnp.float32)
+    fold = Block(cfg)
+    pf = fold.init(KEY, x, N)
+    halves = Block(dataclasses.replace(cfg, attn_ln_fold=False,
+                                       fused_block=True))
+    ph = halves.init(jax.random.PRNGKey(1), x, N)
+    assert (jax.tree.structure(pf) == jax.tree.structure(ph)
+            and [v.shape for v in jax.tree.leaves(pf)]
+            == [v.shape for v in jax.tree.leaves(ph)])
+    got = fold.apply(pf, x, N)
+    want = halves.apply(pf, x, N)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    cls = fold.apply(pf, x, N, True)
+    assert cls.shape == (B, 64)
+    np.testing.assert_allclose(
+        np.asarray(cls),
+        np.asarray(got.reshape(B, N, 64)[:, 0]), rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_trains_with_attn_ln_fold():
+    """Gradients flow through the fold path's raw params (CPU reference
+    fallback exercises the custom VJP wiring)."""
+    from vit_marl_tpu.models.vit import ViTConfig, ViTEncoder
+
+    cfg = ViTConfig(width=64, depth=2, heads=2, compute_dtype="float32",
+                    remat=False, attn_ln_fold=True)
+    img = jax.random.normal(KEY, (4, 10, 3, 2))
+    enc = ViTEncoder(cfg)
+    p = enc.init(KEY, img)
+    g = jax.grad(lambda p_: jnp.sum(enc.apply(p_, img) ** 2))(p)
+    gn = sum(float(np.abs(np.asarray(l)).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(gn) and gn > 0

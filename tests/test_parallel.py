@@ -392,7 +392,14 @@ def test_mesh_training_keeps_attn_kernel_config():
     """make_train with a mesh no longer force-disables vit_attn_kernel:
     the mesh context + per-shard eligibility gate handles it (ineligible
     shapes fall back inside MHA).  One vision update on the 8-dev mesh
-    must run and match the single-device run."""
+    must run and match the single-device run.
+
+    vit_attn_env_block=2 makes the per-shard tiling gate PASS (16 envs /
+    8 shards = 2 local envs), so this drives the shard_mapped
+    short_attention wrapper through make_train — off-TPU the pallas_call
+    inside it falls back to the XLA reference, so what this verifies is
+    the wrapper's sharding/gating, while the kernel's compiled lowering
+    is covered by bench --selfcheck on hardware."""
     wcfg = WorldConfig(n_data_msg_per_step=5, ep_type="fixed_steps",
                        episode_time=4, start_resolution=4,
                        n_messages_per_synthetic_day=600)
@@ -408,7 +415,7 @@ def test_mesh_training_keeps_attn_kernel_config():
                      update_epochs=1, total_timesteps=16 * 4,
                      log_backend="none", rollout_mode="scan",
                      network=("gru", "vit_gru"), vit_preset="micro",
-                     vit_attn_kernel=True)
+                     vit_attn_kernel=True, vit_attn_env_block=2)
     mesh = make_mesh((8,), ("data",))
     out = make_train(ma, tc, mesh=mesh)(KEY)
     m = out["metrics"][0]

@@ -85,6 +85,41 @@ def test_training_vision_vit_continuous():
     assert float(m["EXE/entropy"]) != 0.0
 
 
+def test_training_vision_cnn_learning_smoke():
+    """The cnn_gru network (the reference's never-imported VisionAgent stub
+    made trainable, ref: networks/vision_agent.py:6-40) trains end-to-end on
+    dict observations and moves its parameters."""
+    ma = tiny_ma(exec_kw=dict(action_space="policy_blending",
+                              observation_space="execution_policy",
+                              reward_space="dual_ppo", use_vision_obs=True))
+    tc = tiny_train(2, network=("gru", "cnn_gru"))
+    out = make_train(ma, tc)(KEY)
+    for m in out["metrics"]:
+        assert np.isfinite(np.asarray(m["EXE/total_loss"])).all()
+    # the CNN is live in the policy: the value head's gradient reaches the
+    # conv kernels (not just the flat-obs branch of the fusion gate)
+    from vit_marl_tpu.env.world import WorldEnv
+    from vit_marl_tpu.models.rnn import ScannedGRU
+    from vit_marl_tpu.rl.ppo import make_network
+
+    env = WorldEnv(ma)
+    net = make_network(tc, 1, env.action_spaces[1],
+                       env.observation_spaces[1])
+    params = out["runner_state"][0][1].params
+    sp = env.observation_spaces[1]
+    obs = {k: jnp.ones((1, 4) + tuple(s.shape)) for k, s in sp.spaces.items()}
+    h0 = ScannedGRU.initialize_carry(4, tc.hidden_size)
+
+    def value_sum(p):
+        _, _, v = net.apply(p, h0, (obs, jnp.zeros((1, 4), bool)))
+        return v.sum()
+
+    g = jax.grad(value_sum)(params)
+    gnorm = sum(float(np.abs(np.asarray(l)).sum())
+                for l in jax.tree.leaves(g["params"]["cnn"]))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_dict_obs_requires_vit_network():
     ma = tiny_ma(exec_kw=dict(use_vision_obs=True))
     with pytest.raises(ValueError, match="vit_gru"):
@@ -129,6 +164,57 @@ def test_periodic_eval_rollout():
     for m in out["metrics"]:
         assert "EXE/eval_mean_reward" in m
         assert np.isfinite(np.asarray(m["EXE/eval_mean_reward"]))
+
+
+def test_observability_metrics():
+    """Per-update observability parity with the reference's wandb callback
+    (ref: ippo_rnn_JAXMARL.py:680-763): per-agent action-distribution
+    percentages, info-field mean/std, world-info means, plus eval twins."""
+    ma = tiny_ma()
+    tc = tiny_train(1, eval_every=1, eval_steps=3, eval_envs=4)
+    m = make_train(ma, tc)(KEY)["metrics"][-1]
+    # discrete action distributions sum to 100% per agent type
+    for name, sp in (("MM", 6), ("EXE", None)):
+        pct = [float(np.asarray(v)) for k, v in m.items()
+               if k.startswith(f"{name}/action_pct_")]
+        assert pct and abs(sum(pct) - 100.0) < 1e-3
+    # info stats: mean matches the independently-logged mean reward
+    np.testing.assert_allclose(np.asarray(m["EXE/info_reward_mean"]),
+                               np.asarray(m["EXE/mean_reward"]), rtol=1e-5)
+    assert float(np.asarray(m["EXE/info_quant_left_std"])) >= 0
+    assert "world/end_mid_price_mean" in m
+    # eval twins exist and eval action pcts also sum to 100%
+    ev_pct = [float(np.asarray(v)) for k, v in m.items()
+              if k.startswith("eval_MM/action_pct_")]
+    assert ev_pct and abs(sum(ev_pct) - 100.0) < 1e-3
+    assert "eval_EXE/info_reward_mean" in m
+    assert "eval_world/end_mid_price_mean" in m
+
+
+def test_eval_in_sample_is_hard_error():
+    """LOBSTER data + unset EVAL_TIME_PERIOD must refuse to build a silent
+    in-sample eval env; EVAL_ALLOW_IN_SAMPLE=true opts back in."""
+    from vit_marl_tpu.rl.ppo import _make_eval_env
+
+    ma = tiny_ma()
+    import dataclasses
+    ma = dataclasses.replace(
+        ma, world=dataclasses.replace(ma.world, data_path="/data/LOBSTER"))
+    with pytest.raises(ValueError, match="EVAL_TIME_PERIOD"):
+        _make_eval_env(ma, tiny_train(1, eval_every=1), None)
+    sentinel = object()
+    assert _make_eval_env(
+        ma, tiny_train(1, eval_every=1, eval_allow_in_sample=True),
+        sentinel) is sentinel
+
+
+def test_observability_off_switch():
+    """LOG_ENV_INFO=false drops every observability key (and with it the
+    device-side reductions) from the metrics dict."""
+    m = make_train(tiny_ma(), tiny_train(1, log_env_info=False))(KEY)[
+        "metrics"][-1]
+    assert not any("info_" in k or "action_pct" in k or "action_mean" in k
+                   for k in m)
 
 
 def test_checkpoint_restore_without_template_device_agnostic(tmp_path):

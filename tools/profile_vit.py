@@ -156,6 +156,20 @@ def main():
             lambda im: enck.apply(eparams, im), img, args.reps)
     else:
         print(f"skip attn-kernel A/B: envs={B} not a 64-multiple")
+    # LN1+QKV+attention fold A/B (fused-family param tree: init separately)
+    from vit_marl_tpu.ops.block_kernel import ln_qkv_attn_ok
+    if ln_qkv_attn_ok(B * 11, 11, cfg.width, cfg.heads):
+        encl = ViTEncoder(dataclasses.replace(cfg, attn_ln_fold=True))
+        elparams = encl.init(key, img)
+        results["vit_encoder_lnfold"] = timed(
+            lambda im: encl.apply(elparams, im), img, args.reps)
+        # ... and fwd+bwd, the training-relevant direction
+        def lf_grad(im):
+            g = jax.grad(lambda p: jnp.sum(
+                encl.apply(p, im).astype(jnp.float32) ** 2))(elparams)
+            return sum(jnp.vdot(x, x).real
+                       for x in jax.tree.leaves(g)).astype(jnp.float32)
+        results["vit_encoder_fwdbwd_lnfold"] = timed(lf_grad, img, args.reps)
     # attention BACKWARD kernel A/B: encoder fwd+bwd (grad wrt params)
     # with the Pallas dqkv kernel vs the XLA recompute-and-differentiate
     # custom-vjp backward (both use the forward attention kernel)

@@ -353,7 +353,7 @@ class TrainConfig:
     anneal_lr: bool = True
     fc_dim: int = 64
     hidden_size: int = 64
-    # network per agent type: "gru" | "vit_gru"
+    # network per agent type: "gru" | "vit_gru" | "cnn_gru"
     network: Tuple[str, ...] = ("gru", "gru")
     # rollout collection: "auto" (loop on TPU, scan elsewhere) | "scan" | "loop"
     rollout_mode: str = "auto"
@@ -369,6 +369,9 @@ class TrainConfig:
     # seed+1 so periodic eval is never in-sample.
     eval_time_period: str = ""
     eval_data_seed: int = -1         # -1 -> auto (world seed + 1 on synthetic)
+    # LOBSTER data + unset EVAL_TIME_PERIOD is a hard error (the eval env
+    # would silently be in-sample); this opts back in for smoke configs.
+    eval_allow_in_sample: bool = False
     vit_preset: str = "tiny"         # "tiny" | "small" | "base"
     # use the fused block-half kernels (ops/block_kernel.py: LN1+QKV and
     # proj+residual+LN2+MLP+residual)
@@ -385,6 +388,15 @@ class TrainConfig:
     # instead of the XLA recompute-and-differentiate); only consulted
     # when vit_attn_kernel engages.
     vit_attn_bwd_kernel: bool = True
+    # envs per attention-kernel grid step; per-shard local envs must be a
+    # multiple (64 = measured v5e sweet spot; lower it to keep the kernel
+    # engaged on small per-shard batches)
+    vit_attn_env_block: int = 64
+    # fold LN1+QKV into the attention kernel (ops/block_kernel.py::
+    # fused_ln_qkv_attn; uses the fused-family param tree — checkpoints
+    # interchange with fused modes only).  Forced off under a >1-device
+    # mesh.  Default OFF pending hardware measurement.
+    vit_attn_ln_fold: bool = False
     seed: int = 30
     # distributed
     mesh_shape: Tuple[int, ...] = ()   # () -> single device
@@ -409,6 +421,12 @@ class TrainConfig:
     # logging
     log_backend: str = "print"       # "print" | "jsonl" | "wandb" | "none"
     log_path: str = "metrics.jsonl"
+    # per-update observability parity with the reference's wandb callback
+    # (ref: ippo_rnn_JAXMARL.py:680-763): per-agent action-distribution
+    # percentages + mean/std of every env info field (train and eval).
+    # Reductions run on device inside the update jit; disable to shave the
+    # last few scalars off the metrics dict.
+    log_env_info: bool = True
 
     @property
     def num_updates(self) -> int:

@@ -96,6 +96,23 @@ class ViTConfig:
     # kernel recomputes flash-style in VMEM and emits dqkv directly.
     # Only consulted when attn_kernel engages; same fallbacks.
     attn_bwd_kernel: bool = True
+    # envs per attention-kernel grid step (R = env_block * N rows resident
+    # in VMEM).  64 is the measured sweet spot on v5e; small values let
+    # tests drive the kernel path on tiny per-shard batches (the tiling
+    # gate needs local_envs % env_block == 0).
+    attn_env_block: int = 64
+    # fold LN1 + the QKV projection INTO the attention kernel
+    # (ops/block_kernel.py::fused_ln_qkv_attn): LN1's output and the
+    # (rows, 3W) qkv never touch HBM (~550 MB/block saved @ 8192 envs,
+    # ViT-Small), while proj/LN2/MLP stay in XLA so the cls_only
+    # last-block trick still applies — the middle ground between the
+    # attention kernel and the fully-fused block (which lost its A/B).
+    # NOTE: uses the fused-family param tree (raw kernel params, like
+    # fused_block); checkpoints interchange with the fused modes via
+    # models/convert.py, not with the unfused Dense tree.  Takes
+    # precedence over attn_kernel; fused_block/fused_block_full take
+    # precedence over it.  Default OFF pending hardware measurement.
+    attn_ln_fold: bool = False
 
 
 VIT_PRESETS = {
@@ -169,14 +186,15 @@ class MHA(nn.Module):
                 mesh_attention_ok,
                 short_attention,
             )
-            if mesh_attention_ok(B * N, N):
+            if mesh_attention_ok(B * N, N, c.attn_env_block):
                 # qkv is already the kernel's flat (B*N, 3W) layout;
                 # off-TPU the call falls back to XLA internally.  Under an
                 # active mesh context (make_train with a mesh) the call is
                 # shard_mapped over the data axes so the kernel runs per
                 # shard — GSPMD would otherwise replicate the pallas_call
                 out = short_attention(
-                    qkv, N, c.heads, bwd_kernel=c.attn_bwd_kernel)
+                    qkv, N, c.heads, bwd_kernel=c.attn_bwd_kernel,
+                    env_block=c.attn_env_block)
                 return nn.Dense(W, dtype=dtype, name="proj")(out)
         qkv = qkv.reshape(B, N, 3, c.heads, head_dim)
         if N <= 32:
@@ -207,6 +225,14 @@ class Block(nn.Module):
         dtype = jnp.dtype(c.compute_dtype)
         if c.fused_block or c.fused_block_full:
             return self._fused_block(x, dtype, n_tokens)
+        if c.attn_ln_fold:
+            # param structure is decided by CONFIG alone (flax needs init
+            # and apply to declare the same tree); ineligible shapes fall
+            # back to the composed XLA reference INSIDE fused_ln_qkv_attn
+            # with the same raw params.  make_train forces this flag off
+            # under a >1-device mesh (no shard_map wrapper yet — GSPMD
+            # would replicate the pallas_call).
+            return self._attn_ln_fold_block(x, dtype, n_tokens, cls_only)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
         x = x + MHA(c, name="attn")(h, n_tokens)
         if cls_only:
@@ -218,6 +244,53 @@ class Block(nn.Module):
         h = nn.gelu(h)
         h = nn.Dense(c.width, dtype=dtype, name="mlp2")(h)
         return x + h
+
+    def _attn_ln_fold_block(self, x: Array, dtype,
+                            n_tokens: Optional[int], cls_only: bool) -> Array:
+        """LN1+QKV+attention in one kernel (ops/block_kernel.py::
+        fused_ln_qkv_attn); proj / residual / LN2 / MLP / residual in XLA
+        with the same math as ``_full_block_kernel``'s tail — so the
+        ``cls_only`` last-block trick still applies.  Raw fused-family
+        params (same names as ``_fused_block``; checkpoints interchange
+        via models/convert.py)."""
+        from vit_marl_tpu.ops.block_kernel import _gelu, _ln, fused_ln_qkv_attn
+
+        c = self.cfg
+        if x.ndim != 2:
+            raise ValueError("attn_ln_fold requires the rows_2d layout")
+        N = n_tokens
+        W = x.shape[1]
+        init = nn.initializers.lecun_normal()
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        g1 = self.param("ln1_scale", ones, (W,))
+        b1 = self.param("ln1_bias", zeros, (W,))
+        wqkv = self.param("qkv_kernel", init, (W, 3 * W))
+        bqkv = self.param("qkv_bias", zeros, (3 * W,))
+        wp = self.param("proj_kernel", init, (W, W))
+        bp = self.param("proj_bias", zeros, (W,))
+        g2 = self.param("ln2_scale", ones, (W,))
+        b2 = self.param("ln2_bias", zeros, (W,))
+        w1 = self.param("mlp1_kernel", init, (W, W * c.mlp_ratio))
+        bm1 = self.param("mlp1_bias", zeros, (W * c.mlp_ratio,))
+        w2 = self.param("mlp2_kernel", init, (W * c.mlp_ratio, W))
+        bm2 = self.param("mlp2_bias", zeros, (W,))
+
+        xf = x.astype(dtype)
+        attn = fused_ln_qkv_attn(xf, g1, b1, wqkv.astype(dtype), bqkv, N,
+                                 c.heads, c.attn_env_block,
+                                 bwd_kernel=c.attn_bwd_kernel)
+        proj = jnp.dot(attn, wp.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        x1 = xf + (proj + bp.astype(jnp.float32)).astype(dtype)
+        if cls_only:
+            x1 = x1.reshape(-1, N, W)[:, 0]
+        h2 = _ln(x1, g2, b2).astype(dtype)
+        hid = jnp.dot(h2, w1.astype(dtype),
+                      preferred_element_type=jnp.float32)
+        hid = _gelu((hid + bm1.astype(jnp.float32)).astype(dtype))
+        mlp = jnp.dot(hid, w2.astype(dtype),
+                      preferred_element_type=jnp.float32)
+        return x1 + (mlp + bm2.astype(jnp.float32)).astype(dtype)
 
     def _fused_block(self, x: Array, dtype,
                      n_tokens: Optional[int] = None) -> Array:

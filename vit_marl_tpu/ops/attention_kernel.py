@@ -376,30 +376,51 @@ def attention_ok(rows: int, n_tokens: int,
 # single-device call.  Attention is per-env math, so sharding the row axis
 # at env boundaries is bit-equal to the unsharded call.
 
-_MESH_CTX = None   # None | (Mesh, axis-name-or-tuple)
+import threading as _threading
+
+_MESH_TLS = _threading.local()   # .ctx: None | (Mesh, axis-name-or-tuple)
+
+
+def _mesh_ctx():
+    return getattr(_MESH_TLS, "ctx", None)
 
 
 def set_attention_mesh(mesh, axis=None):
     """Activate mesh-sharded attention; returns the previous context for
-    ``restore_attention_mesh``.  ``mesh=None`` (or size 1) deactivates."""
-    global _MESH_CTX
-    prev = _MESH_CTX
+    ``restore_attention_mesh``.  ``mesh=None`` (or size 1) deactivates.
+
+    HAZARD — the context is consulted at TRACE time, not call time: a
+    callable jitted *before* this call keeps its unsharded trace (the
+    GSPMD-replicated pallas_call) in the jit cache afterwards.  Set the
+    context before any trace that should shard (make_train does: it wraps
+    the whole train() body).  The context is thread-local, so concurrent
+    make_train runs in different threads cannot clobber each other.
+
+    With no ``data``/``*_data`` axis on the mesh (pure tensor-parallel),
+    the context DEACTIVATES: env rows are replicated on such a mesh, so
+    the plain call is already correct — and this mirrors
+    ``parallel.mesh.data_axis_names``, the one shared definition of which
+    axes carry envs (shard_step errors there instead, because an unsharded
+    env *step* on a >1-device mesh is a real configuration bug).
+    """
+    prev = _mesh_ctx()
     if mesh is None or getattr(mesh, "size", 1) <= 1:
-        _MESH_CTX = None
+        _MESH_TLS.ctx = None
         return prev
     if axis is None:
-        axis = tuple(a for a in mesh.axis_names
-                     if a == "data" or str(a).endswith("_data")) \
-            or (mesh.axis_names[0],)
+        from vit_marl_tpu.parallel.mesh import data_axis_names
+        axis = data_axis_names(mesh)
+        if not axis:
+            _MESH_TLS.ctx = None
+            return prev
     if isinstance(axis, (tuple, list)) and len(axis) == 1:
         axis = axis[0]
-    _MESH_CTX = (mesh, axis)
+    _MESH_TLS.ctx = (mesh, axis)
     return prev
 
 
 def restore_attention_mesh(prev) -> None:
-    global _MESH_CTX
-    _MESH_CTX = prev
+    _MESH_TLS.ctx = prev
 
 
 def mesh_attention_ok(rows: int, n_tokens: int,
@@ -407,9 +428,10 @@ def mesh_attention_ok(rows: int, n_tokens: int,
     """``attention_ok`` for the active context: with a mesh, every shard's
     LOCAL rows must satisfy the kernel tiling (and rows must split evenly
     at env boundaries over the data axes)."""
-    if _MESH_CTX is None:
+    ctx = _mesh_ctx()
+    if ctx is None:
         return attention_ok(rows, n_tokens, env_block)
-    mesh, axis = _MESH_CTX
+    mesh, axis = ctx
     names = axis if isinstance(axis, tuple) else (axis,)
     nd = 1
     for a in names:
@@ -418,17 +440,20 @@ def mesh_attention_ok(rows: int, n_tokens: int,
 
 
 def short_attention(qkv: Array, n_tokens: int, heads: int,
-                    bwd_kernel: bool = True) -> Array:
+                    bwd_kernel: bool = True,
+                    env_block: int = DEF_ENV_BLOCK) -> Array:
     """``fused_short_attention``, shard_mapped over the active mesh context
-    (if any).  Callers gate on ``mesh_attention_ok`` first."""
-    if _MESH_CTX is None:
-        return fused_short_attention(qkv, n_tokens, heads,
+    (if any).  Callers gate on ``mesh_attention_ok`` first (with the same
+    ``env_block``)."""
+    ctx = _mesh_ctx()
+    if ctx is None:
+        return fused_short_attention(qkv, n_tokens, heads, env_block,
                                      bwd_kernel=bwd_kernel)
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
-    mesh, axis = _MESH_CTX
+    mesh, axis = ctx
     f = shard_map(
-        lambda x: fused_short_attention(x, n_tokens, heads, DEF_ENV_BLOCK,
+        lambda x: fused_short_attention(x, n_tokens, heads, env_block,
                                         False, bwd_kernel),
         mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_rep=False)
     return f(qkv)

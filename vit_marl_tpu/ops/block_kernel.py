@@ -369,3 +369,130 @@ def full_block_ok(rows: int, n_tokens: int, width: int, heads: int,
     """Whether the fully-fused kernel (not the fallback) engages."""
     return (rows % (env_block * n_tokens) == 0 and width <= MAX_WIDTH
             and hidden <= 4 * MAX_WIDTH and width % heads == 0)
+
+
+# --------------------------------------------------------------------------
+# LN1 + QKV + attention in one kernel (VERDICT r4 item 9): the middle
+# ground between the attention kernel (which still round-trips LN1's
+# output and the (rows, 3W) qkv through HBM — ~550 MB/block at 8192 envs
+# x ViT-Small) and the fully-fused block (whose in-kernel MLP lost its
+# end-to-end A/B, runs/r4/bench_vit_fusedblockfull.txt).  proj/LN2/MLP
+# stay in XLA, so the cls_only last-block optimisation still applies.
+# --------------------------------------------------------------------------
+
+def _ln_qkv_attn_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, sel_ref,
+                        bsel_ref, o_ref, *, n_tokens: int, heads: int):
+    from vit_marl_tpu.ops.attention_kernel import _attn_body
+
+    dt = x_ref.dtype
+    h = _ln(x_ref[...], g_ref[...], b_ref[...]).astype(dt)
+    qkv = jnp.dot(h, w_ref[...], preferred_element_type=jnp.float32)
+    # cast to the compute dtype first: the unfused pipeline's Dense emits
+    # bf16 qkv, so the attention must see the same rounding
+    qkv = (qkv + bias_ref[...].astype(jnp.float32)).astype(dt)
+    exact = jnp.dtype(dt) == jnp.float32
+    out = _attn_body(qkv.astype(jnp.float32), sel_ref[...], bsel_ref[...],
+                     n_tokens, heads, exact_f32=exact)
+    o_ref[...] = out.astype(dt)
+
+
+def _ln_qkv_attn_reference(x, gamma, beta, w, bias, n_tokens, heads):
+    """Composition of the two tested references (fallback + backward)."""
+    from vit_marl_tpu.ops.attention_kernel import _attention_reference
+
+    qkv = _ln_qkv_reference(x, gamma, beta, w, bias)
+    return _attention_reference(qkv, n_tokens, heads).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_ln_qkv_attn(x: Array, gamma: Array, beta: Array, w: Array,
+                      bias: Array, n_tokens: int, heads: int,
+                      env_block: int = DEF_FULL_ENV_BLOCK,
+                      interpret: bool = False,
+                      bwd_kernel: bool = True) -> Array:
+    """``attention(LN(x) @ w + bias)`` in one kernel; x in, attention rows
+    out — LN1's output and the (rows, 3W) qkv never touch HBM.
+
+    ``x``: (rows, W) flat token rows (rows = envs * n_tokens, rows_2d
+    layout); returns (rows, W) pre-projection attention rows.  Requires
+    ``ln_qkv_attn_ok``; falls back to the composed XLA reference off-TPU
+    or for unaligned/too-wide shapes.  Backward recomputes qkv in XLA and
+    chains through the Pallas attention-backward kernel (``bwd_kernel``,
+    default) or the XLA attention vjp.
+    """
+    return _ln_qkv_attn_impl(x, gamma, beta, w, bias, n_tokens, heads,
+                             env_block, interpret)
+
+
+def _ln_qkv_attn_impl(x, gamma, beta, w, bias, n_tokens, heads, env_block,
+                      interpret):
+    from vit_marl_tpu.ops.attention_kernel import HPAD, _selection_matrices
+
+    rows, w_in = x.shape
+    blk = env_block * n_tokens
+    if (not ln_qkv_attn_ok(rows, n_tokens, w_in, heads, env_block)
+            or (not interpret and jax.default_backend() != "tpu")):
+        return _ln_qkv_attn_reference(x, gamma, beta, w, bias, n_tokens,
+                                      heads)
+    sel, bsel = _selection_matrices(heads, w_in // heads)
+    row = lambda i: (i, 0)
+    const = lambda i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_attn_kernel, n_tokens=n_tokens,
+                          heads=heads),
+        grid=(rows // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, w_in), row),
+            pl.BlockSpec((1, w_in), const),
+            pl.BlockSpec((1, w_in), const),
+            pl.BlockSpec((w_in, 3 * w_in), const),
+            pl.BlockSpec((1, 3 * w_in), const),
+            pl.BlockSpec((w_in, HPAD), const),
+            pl.BlockSpec((HPAD, w_in), const),
+        ],
+        out_specs=pl.BlockSpec((blk, w_in), row),
+        out_shape=jax.ShapeDtypeStruct((rows, w_in), x.dtype),
+        compiler_params=row_grid_params(),
+        interpret=interpret,
+    )(x, gamma.reshape(1, -1), beta.reshape(1, -1), w, bias.reshape(1, -1),
+      sel, bsel)
+
+
+def _ln_qkv_attn_fwd(x, gamma, beta, w, bias, n_tokens, heads, env_block,
+                     interpret, bwd_kernel):
+    out = _ln_qkv_attn_impl(x, gamma, beta, w, bias, n_tokens, heads,
+                            env_block, interpret)
+    return out, (x, gamma, beta, w, bias)
+
+
+def _ln_qkv_attn_bwd(n_tokens, heads, env_block, interpret, bwd_kernel,
+                     res, g):
+    from vit_marl_tpu.ops.attention_kernel import (
+        _attention_reference,
+        _bwd_kernel_call,
+        attention_ok,
+    )
+
+    x, gamma, beta, w, bias = res
+    qkv, lnqkv_vjp = jax.vjp(
+        lambda *a: _ln_qkv_reference(*a), x, gamma, beta, w, bias)
+    on_tpu = interpret or jax.default_backend() == "tpu"
+    if (bwd_kernel and on_tpu
+            and attention_ok(x.shape[0], n_tokens, env_block)):
+        dqkv = _bwd_kernel_call(qkv, g.astype(qkv.dtype), n_tokens, heads,
+                                env_block, interpret)
+    else:
+        _, attn_vjp = jax.vjp(
+            lambda q: _attention_reference(q, n_tokens, heads), qkv)
+        dqkv, = attn_vjp(g.astype(qkv.dtype))
+    return lnqkv_vjp(dqkv)
+
+
+fused_ln_qkv_attn.defvjp(_ln_qkv_attn_fwd, _ln_qkv_attn_bwd)
+
+
+def ln_qkv_attn_ok(rows: int, n_tokens: int, width: int, heads: int,
+                   env_block: int = DEF_FULL_ENV_BLOCK) -> bool:
+    """Whether the LN1+QKV+attention kernel (not the fallback) engages."""
+    return (rows % (env_block * n_tokens) == 0 and width <= MAX_WIDTH
+            and width % heads == 0)

@@ -38,6 +38,16 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(np.asarray(devices[:n]).reshape(shape), axis_names=tuple(axes))
 
 
+def data_axis_names(mesh: Mesh) -> Tuple[str, ...]:
+    """The env-batch mesh axes: ``data`` and every ``*_data`` axis (the
+    hybrid DCN+ICI layout of ``make_hybrid_mesh``). May be EMPTY on a pure
+    tensor-parallel mesh — the one shared definition every shard_map
+    wrapper (shard_batch, shard_step, attention) resolves against, so they
+    can never disagree about which axes carry envs."""
+    return tuple(a for a in mesh.axis_names
+                 if a == "data" or str(a).endswith("_data"))
+
+
 def shard_batch(tree, mesh: Mesh, axis=None):
     """Place every leaf with its leading (batch) axis split over ``axis``.
 
@@ -51,8 +61,10 @@ def shard_batch(tree, mesh: Mesh, axis=None):
     would mask a sharding regression.
     """
     if axis is None:
-        axis = tuple(a for a in mesh.axis_names
-                     if a == "data" or str(a).endswith("_data")) or "data"
+        # no data axis at all -> fall through to the literal "data" name so
+        # the error below names the missing axis instead of silently
+        # replicating the batch
+        axis = data_axis_names(mesh) or "data"
     if isinstance(axis, (tuple, list)):
         axis = tuple(axis)
         if len(axis) == 1:

@@ -51,8 +51,13 @@ def make_sharded_step(env, mesh: Mesh, axis=None):
     The Pallas engine (when eligible per shard) runs per shard.
     """
     if axis is None:
-        axis = tuple(a for a in mesh.axis_names
-                     if a == "data" or str(a).endswith("_data")) or "data"
+        from vit_marl_tpu.parallel.mesh import data_axis_names
+        axis = data_axis_names(mesh)
+        if not axis:
+            raise ValueError(
+                "make_sharded_step: mesh has no 'data'/'*_data' axis to "
+                f"shard envs over (axes: {mesh.axis_names}); pass axis= "
+                "explicitly or add a data axis to the mesh")
     if isinstance(axis, (tuple, list)) and len(axis) == 1:
         axis = axis[0]
     env_spec = P(axis)

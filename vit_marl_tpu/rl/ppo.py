@@ -56,6 +56,66 @@ def _per_type(val, i: int):
     return val
 
 
+def _reduce_info(info):
+    """Per-step device-side reduction of the env info pytree to scalars.
+
+    Observability parity with the reference's wandb callback, which logs
+    the mean/std of every agent info field and the mean of every world
+    info field each update (ref: ippo_rnn_JAXMARL.py:707-723). Reducing
+    per step keeps the rollout's stacked side-channel at a few dozen
+    scalars instead of (steps, actors) arrays; `_update_from_traj` folds
+    the per-step moments into whole-rollout mean/std.
+    """
+    agents = []
+    for inf in info["agents"]:
+        d = {}
+        for k, v in inf.items():
+            v = jnp.asarray(v, jnp.float32)
+            d[k] = jnp.stack([v.mean(), jnp.square(v).mean()])
+        agents.append(d)
+    world = {k: jnp.asarray(v, jnp.float32).mean()
+             for k, v in info["world"].items()}
+    return {"agents": agents, "world": world}
+
+
+def _action_metrics(action, space, prefix, out):
+    """Per-update action-distribution metrics
+    (ref: ippo_rnn_JAXMARL.py:689-696 — unique-count percentages).
+
+    Discrete spaces get one percentage per action id; continuous (Box)
+    spaces — which the reference's int-only unique() path would crash on —
+    get mean/std of the sampled actions instead.
+    """
+    if isinstance(space, Discrete):
+        counts = jnp.bincount(action.ravel().astype(jnp.int32),
+                              length=space.n)
+        pct = 100.0 * counts / action.size
+        for a in range(space.n):
+            out[f"{prefix}/action_pct_{a}"] = pct[a]
+    else:
+        af = jnp.asarray(action, jnp.float32)
+        out[f"{prefix}/action_mean"] = af.mean()
+        out[f"{prefix}/action_std"] = af.std()
+
+
+def _fold_info_stats(info_stats, names, out, prefix=""):
+    """Fold stacked per-step info moments into per-update mean/std metrics.
+
+    ``info_stats`` leaves are (steps, 2) [mean, mean-of-squares] for agent
+    fields and (steps,) means for world fields. Every step reduces an
+    equal element count, so the mean of per-step moments equals the
+    whole-rollout moment and std = sqrt(E[x^2] - E[x]^2) exactly.
+    """
+    for i, name in enumerate(names):
+        for k, ms in info_stats["agents"][i].items():
+            mean = ms[:, 0].mean()
+            var = jnp.maximum(ms[:, 1].mean() - jnp.square(mean), 0.0)
+            out[f"{prefix}{name}/info_{k}_mean"] = mean
+            out[f"{prefix}{name}/info_{k}_std"] = jnp.sqrt(var)
+    for k, v in info_stats["world"].items():
+        out[f"{prefix}world/{k}_mean"] = v.mean()
+
+
 def make_network(cfg: TrainConfig, i: int, action_space, obs_space):
     """Build the per-type policy network (gru | vit_gru)."""
     kind = _per_type(cfg.network, i)
@@ -72,17 +132,27 @@ def make_network(cfg: TrainConfig, i: int, action_space, obs_space):
         if (cfg.vit_fused_block != vit_cfg.fused_block
                 or cfg.vit_fused_block_full != vit_cfg.fused_block_full
                 or cfg.vit_attn_kernel != vit_cfg.attn_kernel
-                or cfg.vit_attn_bwd_kernel != vit_cfg.attn_bwd_kernel):
+                or cfg.vit_attn_bwd_kernel != vit_cfg.attn_bwd_kernel
+                or cfg.vit_attn_env_block != vit_cfg.attn_env_block
+                or cfg.vit_attn_ln_fold != vit_cfg.attn_ln_fold):
             vit_cfg = _dc.replace(
                 vit_cfg,
                 fused_block=cfg.vit_fused_block,
                 fused_block_full=cfg.vit_fused_block_full,
                 attn_kernel=cfg.vit_attn_kernel,
-                attn_bwd_kernel=cfg.vit_attn_bwd_kernel)
+                attn_bwd_kernel=cfg.vit_attn_bwd_kernel,
+                attn_env_block=cfg.vit_attn_env_block,
+                attn_ln_fold=cfg.vit_attn_ln_fold)
         return ViTActorCriticRNN(
             action_dim=action_dim, vit=vit_cfg,
             fc_dim=cfg.fc_dim, hidden_size=cfg.hidden_size,
             continuous=continuous, action_low=low, action_high=high)
+    if kind == "cnn_gru":
+        from vit_marl_tpu.models.cnn import CNNActorCriticRNN
+        return CNNActorCriticRNN(
+            action_dim=action_dim, fc_dim=cfg.fc_dim,
+            hidden_size=cfg.hidden_size, continuous=continuous,
+            action_low=low, action_high=high)
     return ActorCriticRNN(
         action_dim=action_dim, fc_dim=cfg.fc_dim,
         hidden_size=cfg.hidden_size, continuous=continuous,
@@ -117,12 +187,18 @@ def _make_eval_env(ma_config: MultiAgentConfig, cfg: TrainConfig,
         seed = cfg.eval_data_seed if cfg.eval_data_seed >= 0 else wcfg.seed + 1
         ew = dataclasses.replace(wcfg, seed=seed)
         return WorldEnv(dataclasses.replace(ma_config, world=ew))
-    import sys
-    print("WARNING: eval env shares the TRAINING data (LOBSTER data is "
-          "configured but EVAL_TIME_PERIOD is unset) — eval curves are "
-          "in-sample. Set EVAL_TIME_PERIOD for held-out eval.",
-          file=sys.stderr)
-    return train_env
+    if cfg.eval_allow_in_sample:
+        import sys
+        print("WARNING: eval env shares the TRAINING data "
+              "(EVAL_ALLOW_IN_SAMPLE=true) — eval curves are in-sample.",
+              file=sys.stderr)
+        return train_env
+    raise ValueError(
+        "LOBSTER data is configured but EVAL_TIME_PERIOD is unset: the "
+        "eval env would silently share the TRAINING data and every eval "
+        "curve would be in-sample. Set EVAL_TIME_PERIOD to a held-out "
+        "period, or opt in explicitly with EVAL_ALLOW_IN_SAMPLE=true "
+        "(smoke runs only).")
 
 
 def _resume(ckpt, runner_state):
@@ -198,6 +274,16 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
     """
     env = env or WorldEnv(ma_config)
     env_step_fn = env.step_vec
+    if (mesh is not None and getattr(mesh, "size", 1) > 1
+            and cfg.vit_attn_ln_fold):
+        # no shard_map wrapper for the fold kernel yet: GSPMD would
+        # replicate the pallas_call on every chip (full-batch all-gather)
+        import dataclasses
+        import sys
+        print("NOTE: VIT_ATTN_LN_FOLD forced off under a >1-device mesh "
+              "(the fold kernel has no shard_map wrapper; the plain "
+              "attention kernel still runs per shard)", file=sys.stderr)
+        cfg = dataclasses.replace(cfg, vit_attn_ln_fold=False)
     if mesh is not None and getattr(mesh, "size", 1) > 1:
         # GSPMD cannot partition pallas_call ops — under pjit auto-sharding
         # they get REPLICATED (all-gather input, full batch on every chip).
@@ -215,12 +301,13 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
     n_types = len(env.agent_types)
     num_actors = [n * cfg.num_envs for n in env.n_per_type]
     num_updates = max(cfg.num_updates, 1)
-    # Dict obs requires the vit network; guard early.
+    # Dict obs requires a vision-capable network; guard early.
     for i, sp in enumerate(env.observation_spaces):
-        if hasattr(sp, "spaces") and _per_type(cfg.network, i) != "vit_gru":
+        if (hasattr(sp, "spaces")
+                and _per_type(cfg.network, i) not in ("vit_gru", "cnn_gru")):
             raise ValueError(
                 f"agent type {i} emits dict observations; set network[{i}] "
-                f"to 'vit_gru'")
+                f"to 'vit_gru' or 'cnn_gru'")
 
     def linear_schedule(lr, count):
         n_mb = cfg.num_minibatches * cfg.update_epochs
@@ -306,10 +393,14 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                     obs=batchify(obsv[i], num_actors[i]),
                 ))
             rs = (train_states, env_state, obsv, new_dones, new_h, rng)
-            return rs, transitions
+            # info side-channel: the env computes per-agent/world info every
+            # step; reduce it to scalars here instead of discarding it
+            # (observability parity — ref: ippo_rnn_JAXMARL.py:680-763)
+            stats = _reduce_info(info) if cfg.log_env_info else {}
+            return rs, (transitions, stats)
 
         def _update_from_traj(rollout_state, initial_hstates, traj_batch,
-                              update_idx):
+                              update_idx, info_stats):
             """GAE + PPO epochs given a collected trajectory."""
             train_states, env_state, last_obs, last_dones, h_new, rng = rollout_state
 
@@ -409,11 +500,17 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
 
             # ---- metrics ----
             metrics = {"update_step": update_idx}
+            type_names = [a.cfg.short_name for a in env.agent_types]
             for i in range(n_types):
-                name = env.agent_types[i].cfg.short_name
+                name = type_names[i]
                 metrics[f"{name}/mean_reward"] = traj_batch[i].reward.mean()
                 for k, v in loss_infos[i].items():
                     metrics[f"{name}/{k}"] = v
+                if cfg.log_env_info:
+                    _action_metrics(traj_batch[i].action,
+                                    env.action_spaces[i], name, metrics)
+            if cfg.log_env_info:
+                _fold_info_stats(info_stats, type_names, metrics)
             runner_state = (tuple(new_train_states), env_state, last_obs,
                             last_dones, h_new, rng)
             return runner_state, metrics
@@ -422,10 +519,10 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         def _update_step(runner_state, update_idx):
             """Fused single-jit update (rollout scan + GAE + PPO)."""
             initial_hstates = runner_state[-2]
-            rollout_state, traj_batch = jax.lax.scan(
+            rollout_state, (traj_batch, info_stats) = jax.lax.scan(
                 _env_step, runner_state, None, cfg.num_steps)
             return _update_from_traj(rollout_state, initial_hstates,
-                                     traj_batch, update_idx)
+                                     traj_batch, update_idx, info_stats)
 
         update_jit = jax.jit(_update_step)
         env_step_jit = jax.jit(lambda rs: _env_step(rs, None))
@@ -459,15 +556,26 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                     a = a.reshape((n_ev, eval_env.n_per_type[i]) + a.shape[1:])
                     acts.append(a.squeeze() if eval_env.n_per_type[i] == 1
                                 else a)
-                obs, st, rew, done, _ = eval_env.step_vec(
+                obs, st, rew, done, infos = eval_env.step_vec(
                     kstep, st, acts, eval_params)
                 dns2 = [done["agents"][i].reshape((ev_actors[i],))
                         for i in range(n_types)]
-                return (rng, st, obs, dns2, hs2), [r.mean() for r in rew]
+                out = ([r.mean() for r in rew],
+                       _reduce_info(infos) if cfg.log_env_info else {})
+                return (rng, st, obs, dns2, hs2), (out, acts)
 
-            (_, st, obs, dns, hs), rews = jax.lax.scan(
+            (_, st, obs, dns, hs), ((rews, estats), acts) = jax.lax.scan(
                 step_fn, (rng, st, obs, dns, hs), None, cfg.eval_steps)
-            return [r.mean() for r in rews]
+            # eval twins of the training observability metrics
+            # (ref: ippo_rnn_JAXMARL.py:726-760 "eval_agent_*" keys)
+            extra = {}
+            if cfg.log_env_info:
+                names = [a.cfg.short_name for a in eval_env.agent_types]
+                for i in range(n_types):
+                    _action_metrics(acts[i], eval_env.action_spaces[i],
+                                    f"eval_{names[i]}", extra)
+                _fold_info_stats(estats, names, extra, prefix="eval_")
+            return [r.mean() for r in rews], extra
 
         eval_jit = jax.jit(_eval_rollout) if cfg.eval_every else None
 
@@ -514,14 +622,15 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                 rs = runner_state
                 steps = []
                 for _t in range(cfg.num_steps):
-                    rs, tr = env_step_jit(rs)
-                    steps.append(tr)
-                traj_batch = jax.tree.map(lambda *v: jnp.stack(v), *steps)
+                    rs, out = env_step_jit(rs)
+                    steps.append(out)
+                traj_batch, info_stats = jax.tree.map(
+                    lambda *v: jnp.stack(v), *steps)
                 if phase_timing:
                     float(jax.device_get(traj_batch[0].reward.sum()))
                     t1 = _time.time()
                 runner_state, metrics = update_from_traj_jit(
-                    rs, initial_hstates, traj_batch, u)
+                    rs, initial_hstates, traj_batch, u, info_stats)
                 if phase_timing:
                     float(jax.device_get(
                         jnp.asarray(metrics[next(iter(metrics))])))
@@ -532,10 +641,12 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                 runner_state, metrics = update_jit(runner_state, u)
             if eval_jit is not None and (u + 1) % cfg.eval_every == 0:
                 rng, ev_rng = jax.random.split(rng)
-                ev = eval_jit([ts.params for ts in runner_state[0]], ev_rng)
+                ev, ev_extra = eval_jit(
+                    [ts.params for ts in runner_state[0]], ev_rng)
                 for i in range(n_types):
                     name = eval_env.agent_types[i].cfg.short_name
                     metrics[f"{name}/eval_mean_reward"] = ev[i]
+                metrics.update(ev_extra)
             logger.log(jax.device_get(metrics))
             metrics_history.append(jax.device_get(metrics))
             if ckpt is not None and ((u + 1) % cfg.checkpoint_every == 0
