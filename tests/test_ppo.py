@@ -262,3 +262,35 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path):
     tc = tiny_train(1, checkpoint_dir=str(tmp_path / "empty"), resume=True)
     out = make_train(tiny_ma(), tc)(KEY)
     assert len(out["metrics"]) == 1
+
+
+def test_global_done_alignment_env_major():
+    """global_done must align with batchify's env-major actor layout:
+    actor k belongs to env k // n, so the mask is a repeat, not the
+    reference's tile (whose batchify is agent-major —
+    ref: ippo_rnn_JAXMARL.py:96-101).  Misalignment would hand GAE the
+    wrong episode-boundary masks whenever n_per_type > 1."""
+    from vit_marl_tpu.rl.ppo import batchify, global_done_for_actors
+
+    E, n = 5, 3
+    done_all = jnp.asarray([True, False, True, False, False])
+    got = global_done_for_actors(done_all, n)
+    # ground truth: broadcast per-agent then batchify exactly like every
+    # other per-actor tensor in the Transition
+    want = batchify(jnp.broadcast_to(done_all[:, None], (E, n)), E * n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert not np.array_equal(np.asarray(got),
+                              np.asarray(jnp.tile(done_all, n))), \
+        "tile and repeat coincide — test shapes are degenerate"
+
+
+def test_training_multi_agent_per_type():
+    """n_per_type > 1 trains with finite losses and correctly-shaped
+    per-actor tensors (regression scaffold for the global_done fix)."""
+    ma = tiny_ma()
+    import dataclasses
+    ma = dataclasses.replace(ma, n_agents_per_type=(2, 1))
+    out = make_train(ma, tiny_train(2))(KEY)
+    for m in out["metrics"]:
+        for k, v in m.items():
+            assert np.isfinite(np.asarray(v)).all(), k

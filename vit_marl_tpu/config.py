@@ -355,7 +355,10 @@ class TrainConfig:
     hidden_size: int = 64
     # network per agent type: "gru" | "vit_gru" | "cnn_gru"
     network: Tuple[str, ...] = ("gru", "gru")
-    # rollout collection: "auto" (loop on TPU, scan elsewhere) | "scan" | "loop"
+    # rollout collection: "auto" (loop on TPU, scan elsewhere) | "scan" |
+    # "loop" | "pipeline" (split-batch software pipeline, rl/pipeline.py:
+    # env step for one half merged into one program with the policy
+    # forward for the other; even NUM_ENVS, single-device only)
     rollout_mode: str = "auto"
     # periodic greedy evaluation on a held-out env (0 = off)
     # (ref: ippo_rnn_JAXMARL.py:579-678 CALC_EVAL)

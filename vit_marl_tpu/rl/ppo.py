@@ -50,6 +50,18 @@ def batchify(x, num_actors: int):
         lambda v: v.reshape((num_actors,) + v.shape[2:]), x)
 
 
+def global_done_for_actors(done_all: jax.Array, n_per_type: int) -> jax.Array:
+    """Broadcast the per-env ``__all__`` done flag to the actor axis in
+    ``batchify``'s ENV-MAJOR layout (actor k belongs to env k // n).
+
+    The reference uses ``jnp.tile`` here, which is correct for ITS
+    agent-major batchify (ref: ippo_rnn_JAXMARL.py:96-101 stacks agents
+    first); our batchify reshapes (E, n, ...) row-major, so tile would
+    hand actor k the done flag of env k % E instead — misaligning GAE's
+    episode-boundary masks with rewards whenever n_per_type > 1."""
+    return jnp.repeat(done_all, n_per_type)
+
+
 def _per_type(val, i: int):
     if isinstance(val, (tuple, list)):
         return val[i % len(val)]
@@ -379,8 +391,8 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
                                   num_actors[i]).squeeze()
                 new_dones.append(done_i)
                 transitions.append(Transition(
-                    global_done=jnp.tile(done["__all__"],
-                                         env.n_per_type[i]),
+                    global_done=global_done_for_actors(
+                        done["__all__"], env.n_per_type[i]),
                     done=last_done[i],
                     action=batchify(actions[i].reshape(
                         (cfg.num_envs, env.n_per_type[i])
@@ -528,6 +540,140 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         env_step_jit = jax.jit(lambda rs: _env_step(rs, None))
         update_from_traj_jit = jax.jit(_update_from_traj)
 
+        def _make_pipeline_collector():
+            """Split-batch software-pipelined rollout (rl/pipeline.py):
+            each device program packs the env step for one half-batch with
+            the policy forward for the other, so the HBM/VPU-bound engine
+            and the MXU-bound encoder can interleave.  Per-env math is
+            unchanged; batch-shaped RNG draws are a documented perf-mode
+            divergence (identically distributed — like any batch-size
+            change).  Requires an even NUM_ENVS and no multi-device mesh."""
+            from vit_marl_tpu.rl.pipeline import (
+                concat_halves,
+                make_pipelined_runner,
+                split_half,
+            )
+            half = cfg.num_envs // 2
+            h_actors = [n * half for n in env.n_per_type]
+
+            def policy_half(params_list, pol_state, pol_in):
+                prng, hs = pol_state
+                obs_h, done_h = pol_in
+                prng, _rng = jax.random.split(prng)
+                hs = list(hs)
+                acts_env, pouts = [], []
+                for i in range(n_types):
+                    obs_i = batchify(obs_h[i], h_actors[i])
+                    ac_in = (jax.tree.map(lambda v: v[None], obs_i),
+                             done_h[i][None])
+                    hs[i], pi, value = networks[i].apply(params_list[i],
+                                                         hs[i], ac_in)
+                    action = pi.sample(seed=_rng)
+                    log_prob = pi.log_prob(action)
+                    a = action.reshape((half, env.n_per_type[i])
+                                       + action.shape[2:])
+                    acts_env.append(a.squeeze() if env.n_per_type[i] == 1
+                                    else a)
+                    # (action, value, log_prob, done-input) — the policy-side
+                    # Transition fields, already in the batched actor layout
+                    pouts.append((action[0], value.squeeze(0),
+                                  log_prob.squeeze(0), done_h[i]))
+                return (prng, tuple(hs)), acts_env, tuple(pouts)
+
+            def env_half(params_list, env_carry, acts):
+                erng, st = env_carry
+                erng, _rng = jax.random.split(erng)
+                obsv, st, reward, done, info = env.step_vec(
+                    _rng, st, acts, env_params)
+                new_dones = [batchify(done["agents"][i],
+                                      h_actors[i]).squeeze()
+                             for i in range(n_types)]
+                eouts = (
+                    [batchify(reward[i], h_actors[i]).squeeze()
+                     for i in range(n_types)],
+                    [global_done_for_actors(done["__all__"],
+                                            env.n_per_type[i])
+                     for i in range(n_types)],
+                    [batchify(obsv[i], h_actors[i]) for i in range(n_types)],
+                    _reduce_info(info) if cfg.log_env_info else {},
+                )
+                return (erng, st), (obsv, new_dones), eouts
+
+            run = make_pipelined_runner(policy_half, env_half, merged=True)
+
+            def collect(runner_state):
+                train_states, env_state, obsv, dones, hstates, rng = \
+                    runner_state
+                rng, kp, ke = jax.random.split(rng, 3)
+                kps, kes = jax.random.split(kp, 2), jax.random.split(ke, 2)
+                params_list = [ts.params for ts in train_states]
+                pol_states = [
+                    (kps[h], tuple(split_half(hstates[i], h, h_actors[i])
+                                   for i in range(n_types)))
+                    for h in (0, 1)]
+                env_states = [(kes[h], split_half(env_state, h, half))
+                              for h in (0, 1)]
+                pol_ins = [
+                    ([split_half(obsv[i], h, half) for i in range(n_types)],
+                     [split_half(dones[i], h, h_actors[i])
+                      for i in range(n_types)])
+                    for h in (0, 1)]
+                pol_f, env_f, in_f, pouts, eouts = run(
+                    params_list, pol_states, env_states, pol_ins,
+                    cfg.num_steps)
+
+                def transition_at(h, t):
+                    p, e = pouts[h][t], eouts[h][t]
+                    rew, gdone, obs_b, _ = e
+                    return [Transition(global_done=gdone[i], done=p[i][3],
+                                       action=p[i][0], value=p[i][1],
+                                       reward=rew[i], log_prob=p[i][2],
+                                       obs=obs_b[i])
+                            for i in range(n_types)]
+
+                traj_h = [jax.tree.map(
+                    lambda *v: jnp.stack(v),
+                    *[transition_at(h, t) for t in range(cfg.num_steps)])
+                    for h in (0, 1)]
+                traj_batch = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=1),
+                    traj_h[0], traj_h[1])
+                if cfg.log_env_info:
+                    # per-step moments over equal half sizes: the mean of
+                    # the two halves is the full-batch moment exactly
+                    st_h = [jax.tree.map(
+                        lambda *v: jnp.stack(v),
+                        *[eouts[h][t][3] for t in range(cfg.num_steps)])
+                        for h in (0, 1)]
+                    info_stats = jax.tree.map(lambda a, b: (a + b) / 2,
+                                              st_h[0], st_h[1])
+                else:
+                    info_stats = {}
+                env_state_f = concat_halves(env_f[0][1], env_f[1][1])
+                obs_f = [concat_halves(in_f[0][0][i], in_f[1][0][i])
+                         for i in range(n_types)]
+                dones_f = [concat_halves(in_f[0][1][i], in_f[1][1][i])
+                           for i in range(n_types)]
+                h_f = [concat_halves(pol_f[0][1][i], pol_f[1][1][i])
+                       for i in range(n_types)]
+                rollout_state = (train_states, env_state_f, obs_f, dones_f,
+                                 h_f, rng)
+                return rollout_state, traj_batch, info_stats
+
+            return collect
+
+        use_pipeline = cfg.rollout_mode == "pipeline"
+        if use_pipeline:
+            if mesh is not None and getattr(mesh, "size", 1) > 1:
+                raise ValueError(
+                    "rollout_mode=pipeline does not compose with a "
+                    "multi-device mesh yet; use loop/scan (the mesh path "
+                    "shards the whole step instead)")
+            if cfg.num_envs % 2:
+                raise ValueError(
+                    "rollout_mode=pipeline needs an even NUM_ENVS")
+            pipeline_collect = _make_pipeline_collector()
+
         # ---- periodic greedy evaluation (ref: ippo_rnn_JAXMARL.py:579-678)
         def _eval_rollout(params_list, rng):
             n_ev = cfg.eval_envs or cfg.num_envs
@@ -613,7 +759,22 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         import time as _time
         phase_timing = os.environ.get("VIT_MARL_PHASE_TIMING") == "1"
         for u in range(start_update, num_updates):
-            if use_loop:
+            if use_pipeline:
+                t0 = _time.time()
+                initial_hstates = runner_state[-2]
+                rs, traj_batch, info_stats = pipeline_collect(runner_state)
+                if phase_timing:
+                    float(jax.device_get(traj_batch[0].reward.sum()))
+                    t1 = _time.time()
+                runner_state, metrics = update_from_traj_jit(
+                    rs, initial_hstates, traj_batch, u, info_stats)
+                if phase_timing:
+                    float(jax.device_get(
+                        jnp.asarray(metrics[next(iter(metrics))])))
+                    t2 = _time.time()
+                    print(f"# update {u}: rollout {t1 - t0:.3f}s "
+                          f"update {t2 - t1:.3f}s")
+            elif use_loop:
                 # Python-dispatched rollout: each step is one jitted call
                 # (async-pipelined); avoids the fused-scan rollout, which
                 # is substantially slower on some TPU runtimes.
