@@ -18,7 +18,7 @@ PENDING=0
 log() { echo "=== $(date +%H:%M:%S) $*"; }
 
 relay_alive() {
-  timeout 180 python - <<EOF >/dev/null 2>&1
+  timeout -k 30 180 python - <<EOF >/dev/null 2>&1
 import jax, jax.numpy as jnp
 x = jnp.full((128, 128), 1.0 + ($(date +%s%N) % 86400000) * 1e-9)
 assert float(jax.device_get(x @ x).sum()) > 0

@@ -12,7 +12,7 @@ PENDING=0
 log() { echo "=== $(date +%H:%M:%S) $*"; }
 
 relay_alive() {
-  timeout 180 python - <<EOF >/dev/null 2>&1
+  timeout -k 30 180 python - <<EOF >/dev/null 2>&1
 import jax, jax.numpy as jnp
 x = jnp.full((128, 128), 1.0 + ($(date +%s%N) % 86400000) * 1e-9)
 assert float(jax.device_get(x @ x).sum()) > 0
@@ -73,6 +73,16 @@ step runs/r5b/bench_lnfold.txt '"metric"' 1800 \
 step runs/r5b/bench_lnfold_pipe.txt '"metric"' 1800 \
   python bench.py --envs 8192 --attn-ln-fold --mode pipeline \
   --deadline 1680 || exit 1
+
+# 3b. training-side pipeline: vision training throughput with
+#     ROLLOUT_MODE=pipeline at the same shape as runs/r5/vis_mb2 (the
+#     loop-mode control measured in phase 1)
+step runs/r5b/vis_mb2_pipe.txt 'throughput:' 2400 \
+  python -m vit_marl_tpu.train --config configs/ippo_vision_dual_ppo.yaml \
+  --timing --set NUM_ENVS=1024 --set TOTAL_TIMESTEPS=2.7e6 \
+  --set NUM_MINIBATCHES=2 --set ROLLOUT_MODE=pipeline --set EVAL_EVERY=0 \
+  --set LOG_BACKEND=jsonl --set LOG_PATH=runs/r5b/vis_mb2_pipe_metrics.jsonl \
+  || true
 
 # 4. encoder decomposition with the new rows (lnfold fwd / fwd+bwd)
 step runs/r5b/profile_vit.txt 'vit_encoder' 2400 \

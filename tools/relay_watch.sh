@@ -5,6 +5,14 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p runs
+# single-instance guard: two watchers run two queues into the SAME
+# artifact files and checkpoint dirs (observed round 5: duplicated
+# vis_mb1 trainings corrupting each other's metrics + relay contention)
+exec 9>runs/.relay_watch.lock
+if ! flock -n 9; then
+  echo "$(date +%H:%M:%S) another relay_watch instance holds the lock — exiting"
+  exit 1
+fi
 PROBE_TIMEOUT=${PROBE_TIMEOUT:-300}
 SLEEP=${SLEEP:-240}
 QUEUE=${QUEUE:-tools/chip_queue.sh}
@@ -14,7 +22,7 @@ probe() {
   # (CLAUDE.md gotcha 2) — a constant probe could be answered from cache
   # by a wedged backend.  Fold the wall clock into the input so every
   # probe is a genuinely fresh execution.
-  timeout "$PROBE_TIMEOUT" python - <<EOF >/dev/null 2>&1
+  timeout -k 30 "$PROBE_TIMEOUT" python - <<EOF >/dev/null 2>&1
 import jax, jax.numpy as jnp
 x = jnp.full((128, 128), 1.0 + ($(date +%s) % 86400) * 1e-6)
 assert float(jax.device_get(x @ x).sum()) > 0
