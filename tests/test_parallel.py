@@ -426,3 +426,80 @@ def test_mesh_training_keeps_attn_kernel_config():
         np.testing.assert_allclose(np.asarray(m[k]),
                                    np.asarray(out2["metrics"][0][k]),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_mesh_sharded_ln_fold_matches_unsharded():
+    """short_ln_qkv_attn under an active mesh context == the plain call,
+    forward AND gradients — including the REPLICATED LN/QKV params, whose
+    cotangents shard_map's transpose must psum across shards."""
+    from vit_marl_tpu.ops.attention_kernel import (
+        restore_attention_mesh,
+        set_attention_mesh,
+    )
+    from vit_marl_tpu.ops.block_kernel import short_ln_qkv_attn
+
+    N, H, W, E = 11, 2, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(5), 5)
+    x = jax.random.normal(ks[0], (E * N, W))
+    g1 = jax.random.normal(ks[1], (W,)) * 0.1 + 1.0
+    b1 = jax.random.normal(ks[2], (W,)) * 0.1
+    w = jax.random.normal(ks[3], (W, 3 * W)) * 0.05
+    bias = jax.random.normal(ks[4], (3 * W,)) * 0.1
+
+    def loss(call):
+        return lambda *a: jnp.sum(call(*a, N, H, 2) ** 2)
+
+    want = jax.grad(loss(short_ln_qkv_attn),
+                    argnums=(0, 1, 2, 3, 4))(x, g1, b1, w, bias)
+    want_f = short_ln_qkv_attn(x, g1, b1, w, bias, N, H, 2)
+
+    mesh = make_mesh((8,), ("data",))
+    prev = set_attention_mesh(mesh)
+    try:
+        got_f = short_ln_qkv_attn(x, g1, b1, w, bias, N, H, 2)
+        got = jax.grad(loss(short_ln_qkv_attn),
+                       argnums=(0, 1, 2, 3, 4))(x, g1, b1, w, bias)
+    finally:
+        restore_attention_mesh(prev)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=2e-6, atol=1e-7)
+    # grads: the replicated params' cotangents are summed as 8 per-shard
+    # partials + a psum instead of one row reduction — reassociation
+    # noise of a few e-4 relative on near-zero entries is expected
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_mesh_training_with_attn_ln_fold():
+    """One vision update with VIT_ATTN_LN_FOLD on the 8-dev mesh matches
+    the single-device run (env_block=2 so the per-shard tiling engages
+    the shard_mapped wrapper; off-TPU the kernel inside falls back to the
+    XLA reference — this verifies the sharding/gating, the compiled
+    lowering is covered by bench --selfcheck)."""
+    wcfg = WorldConfig(n_data_msg_per_step=5, ep_type="fixed_steps",
+                       episode_time=4, start_resolution=4,
+                       n_messages_per_synthetic_day=600)
+    ma = MultiAgentConfig(
+        world=wcfg,
+        agents=(MarketMakingConfig(),
+                ExecutionConfig(action_space="policy_blending",
+                                observation_space="execution_policy",
+                                reward_space="dual_ppo",
+                                use_vision_obs=True)),
+        n_agents_per_type=(1, 1))
+    tc = TrainConfig(num_envs=16, num_steps=4, num_minibatches=2,
+                     update_epochs=1, total_timesteps=16 * 4,
+                     log_backend="none", rollout_mode="scan",
+                     network=("gru", "vit_gru"), vit_preset="micro",
+                     vit_attn_ln_fold=True, vit_attn_env_block=2)
+    mesh = make_mesh((8,), ("data",))
+    out = make_train(ma, tc, mesh=mesh)(KEY)
+    m = out["metrics"][0]
+    for k, v in m.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    out2 = make_train(ma, tc)(KEY)
+    for k in m:
+        np.testing.assert_allclose(np.asarray(m[k]),
+                                   np.asarray(out2["metrics"][0][k]),
+                                   rtol=2e-4, atol=1e-5)

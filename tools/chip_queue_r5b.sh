@@ -56,22 +56,27 @@ step runs/r5b/selfcheck.txt '"value": 1' 1200 \
 # 1. VERDICT item 1 A/B: split-batch pipelined rollout vs the loop
 #    baseline.  pipeline-seq isolates the half-batch effect from the
 #    merge effect (same schedule, no packing).
+# --steps 30: the pipeline schedule has a prologue/epilogue bubble per
+# rep (~half a step per 10), so all three arms run longer steady states
 step runs/r5b/bench_pipe.txt '"metric"' 1800 \
-  python bench.py --envs 8192 --mode pipeline --deadline 1680 || exit 1
+  python bench.py --envs 8192 --mode pipeline --steps 30 --deadline 1680 \
+  || exit 1
 step runs/r5b/bench_pipeseq.txt '"metric"' 1800 \
-  python bench.py --envs 8192 --mode pipeline-seq --deadline 1680 || exit 1
+  python bench.py --envs 8192 --mode pipeline-seq --steps 30 \
+  --deadline 1680 || exit 1
 step runs/r5b/bench_loop_ctrl.txt '"metric"' 1500 \
-  python bench.py --envs 8192 --deadline 1380 || exit 1
+  python bench.py --envs 8192 --steps 30 --deadline 1380 || exit 1
 
 # 2. VERDICT item 9 A/B: LN1+QKV+attention fold (loop mode, default
 #    attention kernel as the control = bench_loop_ctrl above)
 step runs/r5b/bench_lnfold.txt '"metric"' 1800 \
-  python bench.py --envs 8192 --attn-ln-fold --deadline 1680 || exit 1
+  python bench.py --envs 8192 --attn-ln-fold --steps 30 --deadline 1680 \
+  || exit 1
 
 # 3. combined arm: fold + pipeline (only meaningful if both win alone,
 #    but cheap to measure while the cache is warm)
 step runs/r5b/bench_lnfold_pipe.txt '"metric"' 1800 \
-  python bench.py --envs 8192 --attn-ln-fold --mode pipeline \
+  python bench.py --envs 8192 --attn-ln-fold --mode pipeline --steps 30 \
   --deadline 1680 || exit 1
 
 # 3b. training-side pipeline: vision training throughput with

@@ -397,8 +397,8 @@ class TrainConfig:
     vit_attn_env_block: int = 64
     # fold LN1+QKV into the attention kernel (ops/block_kernel.py::
     # fused_ln_qkv_attn; uses the fused-family param tree — checkpoints
-    # interchange with fused modes only).  Forced off under a >1-device
-    # mesh.  Default OFF pending hardware measurement.
+    # interchange with fused modes only).  Mesh-composable (shard_mapped
+    # per shard).  Default OFF pending hardware measurement.
     vit_attn_ln_fold: bool = False
     seed: int = 30
     # distributed

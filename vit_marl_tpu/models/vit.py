@@ -111,7 +111,10 @@ class ViTConfig:
     # fused_block); checkpoints interchange with the fused modes via
     # models/convert.py, not with the unfused Dense tree.  Takes
     # precedence over attn_kernel; fused_block/fused_block_full take
-    # precedence over it.  Default OFF pending hardware measurement.
+    # precedence over it.  Mesh-composable: under an active attention
+    # mesh context the call is shard_mapped per shard
+    # (ops/block_kernel.py::short_ln_qkv_attn).  Default OFF pending
+    # hardware measurement.
     attn_ln_fold: bool = False
 
 
@@ -228,10 +231,9 @@ class Block(nn.Module):
         if c.attn_ln_fold:
             # param structure is decided by CONFIG alone (flax needs init
             # and apply to declare the same tree); ineligible shapes fall
-            # back to the composed XLA reference INSIDE fused_ln_qkv_attn
-            # with the same raw params.  make_train forces this flag off
-            # under a >1-device mesh (no shard_map wrapper yet — GSPMD
-            # would replicate the pallas_call).
+            # back to the composed XLA reference INSIDE the call with the
+            # same raw params, and an active mesh context shard_maps the
+            # kernel per shard (short_ln_qkv_attn)
             return self._attn_ln_fold_block(x, dtype, n_tokens, cls_only)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(dtype)
         x = x + MHA(c, name="attn")(h, n_tokens)
@@ -253,7 +255,7 @@ class Block(nn.Module):
         ``cls_only`` last-block trick still applies.  Raw fused-family
         params (same names as ``_fused_block``; checkpoints interchange
         via models/convert.py)."""
-        from vit_marl_tpu.ops.block_kernel import _gelu, _ln, fused_ln_qkv_attn
+        from vit_marl_tpu.ops.block_kernel import _gelu, _ln, short_ln_qkv_attn
 
         c = self.cfg
         if x.ndim != 2:
@@ -276,7 +278,7 @@ class Block(nn.Module):
         bm2 = self.param("mlp2_bias", zeros, (W,))
 
         xf = x.astype(dtype)
-        attn = fused_ln_qkv_attn(xf, g1, b1, wqkv.astype(dtype), bqkv, N,
+        attn = short_ln_qkv_attn(xf, g1, b1, wqkv.astype(dtype), bqkv, N,
                                  c.heads, c.attn_env_block,
                                  bwd_kernel=c.attn_bwd_kernel)
         proj = jnp.dot(attn, wp.astype(dtype),

@@ -496,3 +496,49 @@ def ln_qkv_attn_ok(rows: int, n_tokens: int, width: int, heads: int,
     """Whether the LN1+QKV+attention kernel (not the fallback) engages."""
     return (rows % (env_block * n_tokens) == 0 and width <= MAX_WIDTH
             and width % heads == 0)
+
+
+def short_ln_qkv_attn(x: Array, gamma: Array, beta: Array, w: Array,
+                      bias: Array, n_tokens: int, heads: int,
+                      env_block: int = DEF_FULL_ENV_BLOCK,
+                      bwd_kernel: bool = True) -> Array:
+    """``fused_ln_qkv_attn``, shard_mapped over the active attention mesh
+    context (ops/attention_kernel.py) — the same recipe as
+    ``short_attention``: GSPMD cannot partition a pallas_call (it would
+    REPLICATE it on every chip), so under a mesh the kernel runs per
+    shard with the row axis split at env boundaries and the LN/QKV
+    params replicated.  Gradients are exact: shard_map's transpose
+    psums the replicated params' cotangents across shards (verified
+    vs the unsharded vjp on the 8-dev CPU mesh, tests/test_parallel.py).
+
+    With no context (or per-shard tiling that cannot engage the kernel)
+    this falls back to the plain call / the XLA reference — which GSPMD
+    shards fine on its own.
+    """
+    from vit_marl_tpu.ops.attention_kernel import _mesh_ctx
+
+    ctx = _mesh_ctx()
+    if ctx is None:
+        return fused_ln_qkv_attn(x, gamma, beta, w, bias, n_tokens, heads,
+                                 env_block, False, bwd_kernel)
+    mesh, axis = ctx
+    names = axis if isinstance(axis, tuple) else (axis,)
+    nd = 1
+    for a in names:
+        nd *= mesh.shape[a]
+    rows, w_in = x.shape
+    if rows % nd or not ln_qkv_attn_ok(rows // nd, n_tokens, w_in, heads,
+                                       env_block):
+        # per-shard tiling cannot engage the kernel: use the XLA
+        # reference, which GSPMD partitions correctly without shard_map
+        return _ln_qkv_attn_reference(x, gamma, beta, w, bias, n_tokens,
+                                      heads)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    f = shard_map(
+        lambda xx, g, b, ww, bb: fused_ln_qkv_attn(
+            xx, g, b, ww, bb, n_tokens, heads, env_block, False,
+            bwd_kernel),
+        mesh=mesh, in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=P(axis), check_rep=False)
+    return f(x, gamma, beta, w, bias)

@@ -286,16 +286,6 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
     """
     env = env or WorldEnv(ma_config)
     env_step_fn = env.step_vec
-    if (mesh is not None and getattr(mesh, "size", 1) > 1
-            and cfg.vit_attn_ln_fold):
-        # no shard_map wrapper for the fold kernel yet: GSPMD would
-        # replicate the pallas_call on every chip (full-batch all-gather)
-        import dataclasses
-        import sys
-        print("NOTE: VIT_ATTN_LN_FOLD forced off under a >1-device mesh "
-              "(the fold kernel has no shard_map wrapper; the plain "
-              "attention kernel still runs per shard)", file=sys.stderr)
-        cfg = dataclasses.replace(cfg, vit_attn_ln_fold=False)
     if mesh is not None and getattr(mesh, "size", 1) > 1:
         # GSPMD cannot partition pallas_call ops — under pjit auto-sharding
         # they get REPLICATED (all-gather input, full batch on every chip).
@@ -833,7 +823,8 @@ def make_train(ma_config: MultiAgentConfig, cfg: TrainConfig,
         )
         prev = set_attention_mesh(
             mesh if (mesh is not None and getattr(mesh, "size", 1) > 1
-                     and cfg.vit_attn_kernel) else None)
+                     and (cfg.vit_attn_kernel or cfg.vit_attn_ln_fold))
+            else None)
         try:
             return train(rng)
         finally:
