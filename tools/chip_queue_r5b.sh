@@ -79,6 +79,16 @@ step runs/r5b/bench_lnfold_pipe.txt '"metric"' 1800 \
   python bench.py --envs 8192 --attn-ln-fold --mode pipeline --steps 30 \
   --deadline 1680 || exit 1
 
+# 3a. bwd-kernel A/B arm relocated from phase 1: the mb=2 XLA-bwd run
+#     OOM'd (RESOURCE_EXHAUSTED — the XLA backward's (B,N,N,H) recompute
+#     doubles with the minibatch; the Pallas bwd kernel fits, which is
+#     itself the headline finding).  Measure the comparable arm at mb=4.
+step runs/r5b/vis_mb4_xlabwd.txt 'throughput:' 2400 \
+  python -m vit_marl_tpu.train --config configs/ippo_vision_dual_ppo.yaml \
+  --timing --set NUM_ENVS=1024 --set TOTAL_TIMESTEPS=2.7e6 \
+  --set NUM_MINIBATCHES=4 --set VIT_ATTN_BWD_KERNEL=false \
+  --set EVAL_EVERY=0 --set LOG_BACKEND=none || true
+
 # 3b. training-side pipeline: vision training throughput with
 #     ROLLOUT_MODE=pipeline at the same shape as runs/r5/vis_mb2 (the
 #     loop-mode control measured in phase 1)
